@@ -1,0 +1,172 @@
+"""TPU embedding runner: length-bucketed batching over the jitted encoder.
+
+Replaces the reference's N-process replicated-model embedding pool
+(``generate_embeddings_parallel.py:179-269``: mp.Pool, a SentenceTransformer
+copy per worker, 500-chunk tasks, 200-text sub-batches) with one SPMD
+program: tokenize on host, bucket by token length to a small set of
+padded shapes (XLA compiles one executable per (batch, bucket) pair —
+SURVEY §7 hard part 5: shape discipline), run the jitted MPNet forward,
+and restore original order by position index.
+
+Where the reference reconciles embedding counts after the fact and pads
+zero vectors on failure (``:236-267`` — a defect SURVEY §7 says not to
+replicate), order restoration here is by construction and there is no
+silent-zero path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arxiv_rag_tpu.logging_utils import METRICS, get_logger
+from arxiv_rag_tpu.models.mpnet import ModelConfig, MPNetParams, encode
+from arxiv_rag_tpu.tokenize import WordPieceTokenizer
+
+log = get_logger("embed")
+
+
+@dataclass
+class EmbedStats:
+    texts: int = 0
+    batches: int = 0
+    padded_slots: int = 0
+    tokens: int = 0
+
+
+class Embedder:
+    """Batched sentence-embedding generation on TPU.
+
+    Args:
+        params/cfg: the functional MPNet (models/mpnet.py).
+        tokenizer: WordPiece tokenizer with MPNet specials.
+        buckets: padded sequence lengths, ascending (default from
+            EmbeddingConfig.length_buckets; 384 matches
+            all-mpnet-base-v2's max_seq_length).
+        batch_size: rows per device batch (pad-to-full for one compiled
+            shape per bucket).
+        compute_dtype: bf16 on TPU; fp32 for CPU parity runs.
+        mesh: optional 1-D mesh — batches shard on the data axis
+            (SPMD data parallelism replacing the reference's process pool).
+    """
+
+    def __init__(
+        self,
+        params: MPNetParams,
+        cfg: ModelConfig,
+        tokenizer: WordPieceTokenizer,
+        *,
+        buckets: Sequence[int] = (64, 128, 256, 384),
+        batch_size: int = 256,
+        compute_dtype: jnp.dtype = jnp.bfloat16,
+        normalize: bool = True,
+        mesh=None,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.buckets = tuple(sorted(buckets))
+        self.batch_size = batch_size
+        self.compute_dtype = compute_dtype
+        self.normalize = normalize
+        self.mesh = mesh
+        self.stats = EmbedStats()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._data_sharding = NamedSharding(mesh, P(axis, None))
+            self._replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, self._replicated)
+        else:
+            self._data_sharding = None
+
+        self._encode = jax.jit(
+            partial(
+                encode,
+                cfg=cfg,
+                compute_dtype=compute_dtype,
+                normalize=normalize,
+            )
+        )
+
+    # -- host side -------------------------------------------------------
+
+    def _bucket_for(self, n_tokens: int) -> int:
+        for b in self.buckets:
+            if n_tokens <= b:
+                return b
+        return self.buckets[-1]
+
+    def tokenize_bucketed(
+        self, texts: Sequence[str]
+    ) -> dict[int, tuple[list[int], np.ndarray, np.ndarray]]:
+        """Tokenize and group rows by length bucket.
+
+        Returns {bucket: (original positions, ids [n, bucket], mask)}."""
+        per_bucket: dict[int, list[tuple[int, list[int]]]] = {b: [] for b in self.buckets}
+        max_b = self.buckets[-1]
+        for pos, text in enumerate(texts):
+            enc = self.tokenizer.encode(text, max_len=max_b)
+            per_bucket[self._bucket_for(len(enc))].append((pos, enc))
+        out = {}
+        for bucket, rows in per_bucket.items():
+            if not rows:
+                continue
+            ids = np.full((len(rows), bucket), self.tokenizer.pad_id, np.int32)
+            mask = np.zeros((len(rows), bucket), np.int32)
+            positions = []
+            for r, (pos, enc) in enumerate(rows):
+                ids[r, : len(enc)] = enc
+                mask[r, : len(enc)] = 1
+                positions.append(pos)
+                self.stats.tokens += len(enc)
+            out[bucket] = (positions, ids, mask)
+        return out
+
+    # -- device side -----------------------------------------------------
+
+    def _run_batch(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array:
+        x_ids, x_mask = jnp.asarray(ids), jnp.asarray(mask)
+        if self._data_sharding is not None:
+            x_ids = jax.device_put(x_ids, self._data_sharding)
+            x_mask = jax.device_put(x_mask, self._data_sharding)
+        return self._encode(self.params, x_ids, x_mask)
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """[len(texts), hidden] fp32 embeddings, original order."""
+        if not len(texts):
+            return np.zeros((0, self.cfg.hidden_size), np.float32)
+        out = np.empty((len(texts), self.cfg.hidden_size), np.float32)
+        bucketed = self.tokenize_bucketed(texts)
+        pending: list[tuple[list[int], jax.Array, int]] = []
+        with METRICS.timer("embed.device"):
+            for bucket, (positions, ids, mask) in bucketed.items():
+                for start in range(0, len(positions), self.batch_size):
+                    bpos = positions[start : start + self.batch_size]
+                    bids = ids[start : start + self.batch_size]
+                    bmask = mask[start : start + self.batch_size]
+                    n = len(bpos)
+                    if n < self.batch_size:  # pad to the compiled shape
+                        pad = self.batch_size - n
+                        bids = np.pad(bids, ((0, pad), (0, 0)),
+                                      constant_values=self.tokenizer.pad_id)
+                        # one real token so pooling never divides by zero
+                        bmask = np.pad(bmask, ((0, pad), (0, 0)))
+                        bids[n:, 0] = self.tokenizer.cls_id
+                        bmask[n:, 0] = 1
+                        self.stats.padded_slots += pad
+                    # async dispatch: host tokenizes/pads the next batch
+                    # while the device runs this one
+                    pending.append((bpos, self._run_batch(bids, bmask), n))
+                    self.stats.batches += 1
+            for bpos, emb, n in pending:
+                out[np.asarray(bpos)] = np.asarray(emb)[:n]
+        self.stats.texts += len(texts)
+        METRICS.inc("embed.texts", len(texts))
+        return out

@@ -1,0 +1,223 @@
+"""Dense index: build pass, on-disk format, HBM residency.
+
+Replaces the reference's ChromaDB/hnswlib dependency and its `.npy`
+disk fallback (``generate_embeddings_parallel.py:271-468``,
+``save_embeddings_to_disk.py:15-117``) with the framework's own store:
+
+- build: L2-normalize embeddings (idempotent if the encoder already
+  normalized), attach per-row category ids + uint32 masks, optional
+  int8 symmetric quantization (ops/quant.py);
+- disk: batch-numbered ``.npy`` shards + ``index.json`` manifest
+  (mirrors the reference's manifest contract at
+  ``save_embeddings_to_disk.py:64-75`` — batch files, counts, dim —
+  plus dtype/quantization/category metadata);
+- device: ``to_device()`` places the matrix in HBM — replicated on one
+  chip or row-sharded over a mesh (parallel/mesh.py) for configs[5].
+
+Row order is corpus row order (store/corpus.py), so chunk metadata for
+a search hit is a direct row lookup, not an id join.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arxiv_rag_tpu.logging_utils import get_logger
+from arxiv_rag_tpu.ops.quant import quantize_int8
+
+log = get_logger("index")
+
+MANIFEST_NAME = "index.json"
+
+
+@dataclass
+class IndexManifest:
+    num_rows: int
+    dim: int
+    dtype: str  # float32 | bfloat16 | int8
+    normalized: bool
+    categories: list[str] = field(default_factory=list)
+    shards: list[dict] = field(default_factory=list)  # {file, num_rows, row_offset}
+    model: str = ""
+    created_at: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=1)
+
+    @classmethod
+    def from_json(cls, text: str) -> "IndexManifest":
+        return cls(**json.loads(text))
+
+
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(norms, 1e-12)
+
+
+def build_index(
+    embeddings: np.ndarray,
+    categories: Sequence[str] | None = None,
+    category_names: Sequence[str] | None = None,
+    dtype: str = "bfloat16",
+    normalize: bool = True,
+) -> "DenseIndex":
+    """Build an in-memory DenseIndex from an [N, D] embedding matrix."""
+    emb = np.asarray(embeddings, np.float32)
+    if normalize:
+        emb = _l2_normalize(emb)
+    if categories is not None:
+        cats = list(category_names) if category_names else sorted(set(categories))
+        if len(cats) > 32:
+            raise ValueError("at most 32 categories fit the uint32 row mask")
+        bit_of = {c: np.uint32(1 << i) for i, c in enumerate(cats)}
+        row_masks = np.array([bit_of.get(c, np.uint32(0)) for c in categories], np.uint32)
+    else:
+        cats, row_masks = [], None
+
+    if dtype == "int8":
+        values, scales = quantize_int8(emb)
+        return DenseIndex(
+            values=np.asarray(values), scales=np.asarray(scales), dtype="int8",
+            normalized=normalize, categories=cats, row_masks=row_masks,
+        )
+    values = emb.astype(jnp.bfloat16) if dtype == "bfloat16" else emb
+    return DenseIndex(
+        values=np.asarray(values), scales=None, dtype=dtype,
+        normalized=normalize, categories=cats, row_masks=row_masks,
+    )
+
+
+@dataclass
+class DenseIndex:
+    values: np.ndarray  # [N, D] float32/bfloat16/int8
+    scales: np.ndarray | None  # [N] fp32 for int8
+    dtype: str
+    normalized: bool
+    categories: list[str]
+    row_masks: np.ndarray | None  # [N] uint32
+    model: str = ""
+
+    # device-side state, populated by to_device()
+    _device_values: jax.Array | None = None
+    _device_scales: jax.Array | None = None
+    _device_masks: jax.Array | None = None
+    _mesh: object | None = None
+    _n_valid: int = 0
+
+    @property
+    def num_rows(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.values.shape[1]
+
+    def category_mask(self, wanted: Sequence[str] | None) -> np.uint32:
+        """uint32 query mask selecting the given categories (None = all)."""
+        if wanted is None:
+            return np.uint32(0xFFFFFFFF)
+        bits = np.uint32(0)
+        for c in wanted:
+            if c not in self.categories:
+                raise KeyError(f"unknown category {c!r}; index has {self.categories}")
+            bits |= np.uint32(1 << self.categories.index(c))
+        return bits
+
+    # -- persistence -----------------------------------------------------
+
+    def save(self, directory: str | Path, rows_per_shard: int = 262144) -> None:
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        shards = []
+        for i, start in enumerate(range(0, self.num_rows, rows_per_shard)):
+            stop = min(start + rows_per_shard, self.num_rows)
+            name = f"embeddings-{i:05d}.npy"
+            # bfloat16 has no numpy dtype — store raw uint16 bits
+            chunk = self.values[start:stop]
+            if self.dtype == "bfloat16":
+                chunk = np.asarray(jnp.asarray(chunk).view(jnp.uint16))
+            np.save(directory / name, chunk)
+            shards.append({"file": name, "num_rows": stop - start, "row_offset": start})
+        if self.scales is not None:
+            np.save(directory / "scales.npy", self.scales)
+        if self.row_masks is not None:
+            np.save(directory / "row_masks.npy", self.row_masks)
+        manifest = IndexManifest(
+            num_rows=self.num_rows, dim=self.dim, dtype=self.dtype,
+            normalized=self.normalized, categories=self.categories,
+            shards=shards, model=self.model, created_at=time.time(),
+        )
+        tmp = directory / (MANIFEST_NAME + ".tmp")
+        tmp.write_text(manifest.to_json())
+        tmp.replace(directory / MANIFEST_NAME)
+        log.info("saved index: %d rows × %d dim (%s) in %d shards",
+                 self.num_rows, self.dim, self.dtype, len(shards))
+
+    @classmethod
+    def load(cls, directory: str | Path) -> "DenseIndex":
+        directory = Path(directory)
+        manifest = IndexManifest.from_json((directory / MANIFEST_NAME).read_text())
+        parts = []
+        for s in manifest.shards:
+            arr = np.load(directory / s["file"])
+            if manifest.dtype == "bfloat16":
+                arr = np.asarray(jnp.asarray(arr).view(jnp.bfloat16))
+            parts.append(arr)
+        values = np.concatenate(parts) if parts else np.zeros((0, manifest.dim))
+        scales = None
+        if (directory / "scales.npy").exists():
+            scales = np.load(directory / "scales.npy")
+        row_masks = None
+        if (directory / "row_masks.npy").exists():
+            row_masks = np.load(directory / "row_masks.npy")
+        return cls(
+            values=values, scales=scales, dtype=manifest.dtype,
+            normalized=manifest.normalized, categories=manifest.categories,
+            row_masks=row_masks, model=manifest.model,
+        )
+
+    # -- device placement --------------------------------------------------
+
+    def to_device(self, mesh=None, row_multiple: int = 1024) -> "DenseIndex":
+        """Place the index in HBM: replicated (mesh=None) or row-sharded.
+
+        Rows are padded to a block/shard multiple; searches mask global
+        ids >= n_valid so padding never surfaces.
+        """
+        self._mesh = mesh
+        self._n_valid = self.num_rows
+        jt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}[self.dtype]
+        vals = jnp.asarray(self.values, jt)
+        if mesh is None:
+            pad = (-self.num_rows) % row_multiple
+            if pad:
+                vals = jnp.pad(vals, ((0, pad), (0, 0)))
+            self._device_values = jax.device_put(vals)
+            if self.scales is not None:
+                s = jnp.pad(jnp.asarray(self.scales), (0, pad)) if pad else jnp.asarray(self.scales)
+                self._device_scales = jax.device_put(s)
+            if self.row_masks is not None:
+                m = jnp.asarray(self.row_masks.astype(np.int32))
+                if pad:
+                    m = jnp.pad(m, (0, pad))
+                self._device_masks = jax.device_put(m)
+        else:
+            from arxiv_rag_tpu.parallel.mesh import shard_index_rows
+
+            self._device_values, _ = shard_index_rows(vals, mesh, extra_row_multiple=row_multiple)
+            if self.scales is not None:
+                raise NotImplementedError("sharded int8 index lands with the engine's int8 mesh path")
+            if self.row_masks is not None:
+                m = jnp.asarray(self.row_masks.astype(np.int32)).reshape(-1, 1)
+                sharded, _ = shard_index_rows(m, mesh, extra_row_multiple=row_multiple)
+                self._device_masks = sharded.reshape(-1)
+        return self

@@ -1,0 +1,337 @@
+"""Pallas TPU kernel: fused matmul + streaming top-k flat search.
+
+The QPS-defining kernel (BASELINE configs[3]): scores a query batch
+against an HBM-resident index shard block-by-block and maintains a
+running top-k in VMEM — the [Q, N] score matrix is never materialized
+in HBM (XLA's ``flat_search`` writes it before ``lax.top_k`` reads it
+back; at ~2M rows that's the whole bandwidth budget spent twice).
+
+Design:
+- grid over row blocks of ``block_rows``; Pallas double-buffers the
+  HBM→VMEM index stream while the MXU scores the current block;
+- scratch holds top-k values/global-indices padded to 128 lanes;
+- per block, a single max-reduction finds the block's best score per
+  query; the (VPU-expensive) merge loop runs under ``@pl.when`` only if
+  some query's block max beats its current k-th score — after warm-up
+  almost every block skips the merge, so steady state is
+  HBM-bandwidth-bound: matmul + one reduction per block;
+- merge = K max-extraction passes over [Q, block+128] with min-column
+  tie-breaking, matching ``lax.top_k``'s lowest-index-wins order
+  (scratch columns sit left of the block, and earlier blocks have
+  smaller global indices, so ties resolve identically);
+- optional per-row uint32 metadata masks (per-cs.*-category filtering,
+  BASELINE configs[4]) and an int8 variant (per-row scales applied
+  after an int8×int8 MXU contraction) are fused into the same scan;
+- rows past ``n_valid`` (shard padding) are forced to -inf, so callers
+  can pad shards to a block multiple without recall loss.
+
+Equal-memory recall parity vs the numpy oracle is tested in
+tests/test_pallas_topk.py (interpret mode on CPU; compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128  # scratch top-k padded to one lane tile
+NEG_INF = float(-jnp.inf)
+_HUGE_COL = np.int32(2**30)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _topk_kernel(
+    # refs (order: scalar-prefetch–like SMEM scalars first, then tensors)
+    nvalid_ref,  # SMEM (1,1) int32 — actual row count of this shard
+    q_ref,  # VMEM [Q, D] queries
+    x_ref,  # VMEM [BN, D] index block (bf16/f32) or int8
+    *rest,
+    k: int,
+    block_rows: int,
+    use_mask: bool,
+    use_int8: bool,
+):
+    if use_int8:
+        scales_ref = rest[0]  # [1, BN] f32 row scales
+        qscale_ref = rest[1]  # [Q, 1] f32 query scales
+        rest = rest[2:]
+    if use_mask:
+        rowmask_ref = rest[0]  # [1, BN] int32 bitmask
+        qmask_ref = rest[1]  # [Q, 1] int32 bitmask
+        rest = rest[2:]
+    out_vals_ref, out_idx_ref, svals_ref, sidx_ref = rest
+
+    i = pl.program_id(0)
+    num_blocks = pl.num_programs(0)
+    q = q_ref[:]
+    qn = q.shape[0]
+
+    @pl.when(i == 0)
+    def _init():
+        svals_ref[:] = jnp.full((qn, LANES), NEG_INF, jnp.float32)
+        sidx_ref[:] = jnp.full((qn, LANES), -1, jnp.int32)
+
+    # ---- score the block on the MXU (fp32/int32 accumulation) ----
+    if use_int8:
+        raw = jax.lax.dot_general(
+            q,
+            x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = (
+            raw.astype(jnp.float32)
+            * qscale_ref[:]  # [Q,1]
+            * scales_ref[:]  # [1,BN]
+        )
+    else:
+        from arxiv_rag_tpu.ops.topk import matmul_precision
+
+        scores = jax.lax.dot_general(
+            q,
+            x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(x_ref.dtype),
+        )
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qn, block_rows), 1)
+    gidx = cols + i * block_rows  # global row ids of this block
+
+    valid = gidx < nvalid_ref[0, 0]
+    if use_mask:
+        eligible = (rowmask_ref[:] & qmask_ref[:]) != 0  # [1,BN]&[Q,1]→[Q,BN]
+        valid = jnp.logical_and(valid, eligible)
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    # ---- fast path: skip merge when no query improves ----
+    block_max = jnp.max(scores, axis=1, keepdims=True)  # [Q,1]
+    kth = svals_ref[:, k - 1 : k]  # [Q,1] current k-th best
+    needs_merge = jnp.any(block_max > kth)
+
+    @pl.when(needs_merge)
+    def _merge():
+        width = block_rows + LANES
+        mvals = jnp.concatenate([svals_ref[:], scores], axis=1)  # [Q, W]
+        midx = jnp.concatenate([sidx_ref[:], gidx], axis=1)
+        mcols = jax.lax.broadcasted_iota(jnp.int32, (qn, width), 1)
+
+        lane_cols = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
+        new_vals = jnp.full((qn, LANES), NEG_INF, jnp.float32)
+        new_idx = jnp.full((qn, LANES), -1, jnp.int32)
+        for j in range(k):  # static unroll, K small
+            m = jnp.max(mvals, axis=1, keepdims=True)  # [Q,1]
+            at_max = mvals == m
+            # lowest column wins ties → matches lax.top_k index order
+            sel_col = jnp.min(
+                jnp.where(at_max, mcols, _HUGE_COL), axis=1, keepdims=True
+            )
+            hit = mcols == sel_col
+            chosen = jnp.sum(jnp.where(hit, midx, 0), axis=1, keepdims=True)
+            # column-j write as a vectorized select (scatter is not
+            # available in Mosaic)
+            new_vals = jnp.where(lane_cols == j, m, new_vals)
+            new_idx = jnp.where(lane_cols == j, chosen, new_idx)
+            mvals = jnp.where(hit, NEG_INF, mvals)
+        svals_ref[:] = new_vals
+        sidx_ref[:] = new_idx
+
+    @pl.when(i == num_blocks - 1)
+    def _finalize():
+        out_vals_ref[:] = svals_ref[:, :k]
+        out_idx_ref[:] = sidx_ref[:, :k]
+
+
+def _build_call(
+    n_rows: int,
+    d: int,
+    qn: int,
+    k: int,
+    block_rows: int,
+    x_dtype: Any,
+    use_mask: bool,
+    use_int8: bool,
+    interpret: bool,
+):
+    num_blocks = pl.cdiv(n_rows, block_rows)
+    kernel = functools.partial(
+        _topk_kernel,
+        k=k,
+        block_rows=block_rows,
+        use_mask=use_mask,
+        use_int8=use_int8,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid (1,1)
+        pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if use_int8:
+        in_specs += [
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    if use_mask:
+        in_specs += [
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    flops = 2 * qn * d * n_rows
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qn, LANES), jnp.float32),
+            pltpu.VMEM((qn, LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_rows * d * np.dtype(x_dtype).itemsize + qn * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+def _pad_rows(x: np.ndarray | jnp.ndarray, multiple: int) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return jnp.asarray(x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "interpret"),
+)
+def _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret):
+    qn, d = queries.shape
+    call = _build_call(
+        index.shape[0], d, qn, k, block_rows, index.dtype, False, False, interpret
+    )
+    return call(nvalid, queries.astype(index.dtype), index)
+
+
+def fused_topk(
+    index: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    n_valid: int | None = None,
+    block_rows: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused flat-scan top-k. ``index`` [N, D] (f32/bf16), rows
+    L2-normalized; ``queries`` [Q, D]. Returns (values [Q,k], ids [Q,k])."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = index.shape[0] if n_valid is None else n_valid
+    index = _pad_rows(index, block_rows)
+    nvalid = jnp.full((1, 1), n, jnp.int32)
+    return _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "interpret"),
+)
+def _fused_topk_masked_jit(index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret):
+    qn, d = queries.shape
+    call = _build_call(
+        index.shape[0], d, qn, k, block_rows, index.dtype, True, False, interpret
+    )
+    return call(
+        nvalid,
+        queries.astype(index.dtype),
+        index,
+        row_masks.reshape(1, -1).astype(jnp.int32),
+        query_mask.reshape(-1, 1).astype(jnp.int32),
+    )
+
+
+def fused_topk_masked(
+    index: jnp.ndarray,
+    row_masks: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    n_valid: int | None = None,
+    block_rows: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Metadata-filtered fused top-k (row bitmask & query bitmask != 0)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = index.shape[0] if n_valid is None else n_valid
+    index = _pad_rows(index, block_rows)
+    row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
+    nvalid = jnp.full((1, 1), n, jnp.int32)
+    return _fused_topk_masked_jit(
+        index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "interpret"),
+)
+def _fused_topk_int8_jit(values, scales, q_i8, q_scales, nvalid, k, block_rows, interpret):
+    qn, d = q_i8.shape
+    call = _build_call(
+        values.shape[0], d, qn, k, block_rows, jnp.int8, False, True, interpret
+    )
+    return call(
+        nvalid,
+        q_i8,
+        values,
+        scales.reshape(1, -1),
+        q_scales.reshape(-1, 1),
+    )
+
+
+def fused_topk_int8(
+    values: jnp.ndarray,
+    scales: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    n_valid: int | None = None,
+    block_rows: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 index × int8 queries on the MXU with int32 accumulation;
+    per-row × per-query scales recover cosine scores (ops/quant.py math)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = values.shape[0] if n_valid is None else n_valid
+    values = _pad_rows(values, block_rows)
+    scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
+    # symmetric per-query quantization
+    q = jnp.asarray(queries, jnp.float32)
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+    q_scales = (q_absmax / 127.0).astype(jnp.float32)
+    q_i8 = jnp.clip(jnp.round(q / q_scales[:, None]), -127, 127).astype(jnp.int8)
+    nvalid = jnp.full((1, 1), n, jnp.int32)
+    return _fused_topk_int8_jit(
+        values, scales, q_i8, q_scales, nvalid, k, block_rows, interpret
+    )

@@ -1,0 +1,4 @@
+from arxiv_rag_tpu.search.bm25 import BM25Index
+from arxiv_rag_tpu.search.engine import SearchEngine, SearchResult
+
+__all__ = ["BM25Index", "SearchEngine", "SearchResult"]

@@ -1,0 +1,249 @@
+"""Query-time search engine — the retrieval layer the reference only
+configured (``config.yaml:62-69``: top_k 10, hybrid semantic_weight 0.7,
+rerank top-50) and never built.
+
+Routing:
+- dense scan → Pallas fused kernel on TPU / XLA fallback elsewhere;
+  int8 index → fused int8 path; category filter → masked variants;
+  mesh-sharded index → shard-local top-k + ICI all_gather merge.
+- hybrid → dense ∪ BM25 candidates, min-max-normalized per query,
+  combined as alpha·dense + (1-alpha)·bm25 (alpha = the reference's
+  semantic_weight).
+- results hydrate chunk metadata straight from corpus row order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arxiv_rag_tpu.config import RetrievalConfig
+from arxiv_rag_tpu.index.store import DenseIndex
+from arxiv_rag_tpu.logging_utils import METRICS, get_logger
+from arxiv_rag_tpu.ops.pallas_topk import fused_topk, fused_topk_int8, fused_topk_masked
+from arxiv_rag_tpu.ops.quant import int8_search
+from arxiv_rag_tpu.ops.topk import flat_search, masked_flat_search
+from arxiv_rag_tpu.search.bm25 import BM25Index
+
+log = get_logger("search")
+
+
+@dataclass
+class SearchResult:
+    row: int
+    score: float
+    chunk_id: str = ""
+    paper_id: str = ""
+    category: str = ""
+    section: str = ""
+    page: int = 0
+    text: str = ""
+    extras: dict = field(default_factory=dict)
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        index: DenseIndex,
+        embedder=None,
+        corpus=None,
+        cfg: RetrievalConfig = RetrievalConfig(),
+        bm25: BM25Index | None = None,
+        use_pallas: bool | None = None,
+    ) -> None:
+        self.index = index
+        self.embedder = embedder
+        self.corpus = corpus
+        self.cfg = cfg
+        self.bm25 = bm25
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
+        )
+        if index._device_values is None:
+            index.to_device()
+        self._meta_cache: dict | None = None
+
+    # -- dense ------------------------------------------------------------
+
+    def search_embeddings(
+        self,
+        query_embs: np.ndarray,
+        k: int | None = None,
+        categories: Sequence[str] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(scores [Q,k], corpus rows [Q,k]) for pre-embedded queries."""
+        k = k or self.cfg.top_k
+        idx = self.index
+        q = jnp.asarray(query_embs, jnp.float32)
+        n_valid = idx._n_valid
+        with METRICS.timer("search.dense"):
+            if idx._mesh is not None:
+                from arxiv_rag_tpu.parallel.search import sharded_topk
+
+                vals, rows = sharded_topk(
+                    idx._device_values, q, k, idx._mesh,
+                    n_valid=n_valid, use_pallas=self.use_pallas,
+                )
+            elif categories is not None or idx.dtype == "int8":
+                vals, rows = self._single_chip(q, k, categories)
+            else:
+                if self.use_pallas:
+                    vals, rows = fused_topk(idx._device_values, q, k, n_valid=n_valid)
+                else:
+                    vals, rows = self._xla_plain(q, k)
+        return np.asarray(vals), np.asarray(rows)
+
+    def _qmask(self, categories: Sequence[str] | None, qn: int) -> jnp.ndarray:
+        bits = self.index.category_mask(categories)
+        return jnp.full((qn,), np.int32(np.uint32(bits).view(np.int32)), jnp.int32)
+
+    def _xla_plain(self, q, k):
+        idx = self.index
+        # mask padding rows via a validity row-mask (device values are padded)
+        n_pad = idx._device_values.shape[0]
+        if n_pad == idx._n_valid:
+            return flat_search(idx._device_values, q, k)
+        valid = (jnp.arange(n_pad) < idx._n_valid).astype(jnp.int32)
+        return masked_flat_search(
+            idx._device_values, valid, jnp.ones((q.shape[0],), jnp.int32), q, k
+        )
+
+    def _single_chip(self, q, k, categories):
+        idx = self.index
+        qn = q.shape[0]
+        n_valid = idx._n_valid
+        if idx.dtype == "int8":
+            if categories is None:
+                if self.use_pallas:
+                    return fused_topk_int8(
+                        idx._device_values, idx._device_scales, q, k, n_valid=n_valid
+                    )
+                row_masks = (
+                    jnp.arange(idx._device_values.shape[0]) < n_valid
+                ).astype(jnp.uint32)
+                qmask = jnp.ones((qn,), jnp.uint32)
+            else:
+                if idx._device_masks is None:
+                    raise ValueError(
+                        "category filter requested but index was built without categories"
+                    )
+                # masked int8 goes through the XLA path (fused masked-int8
+                # kernel is a planned optimization)
+                row_masks = jnp.where(
+                    jnp.arange(idx._device_values.shape[0]) < n_valid,
+                    idx._device_masks.astype(jnp.uint32),
+                    0,
+                )
+                qmask = self._qmask(categories, qn).astype(jnp.uint32)
+            return int8_search(
+                idx._device_values, idx._device_scales, q, k,
+                row_masks=row_masks, query_mask=qmask,
+            )
+        # float index with categories
+        if idx._device_masks is None:
+            raise ValueError(
+                "category filter requested but index was built without categories"
+            )
+        valid = jnp.arange(idx._device_values.shape[0]) < n_valid
+        row_masks = jnp.where(valid, idx._device_masks, 0)
+        qmask = self._qmask(categories, qn)
+        if self.use_pallas:
+            return fused_topk_masked(
+                idx._device_values, row_masks, qmask, q, k, n_valid=n_valid
+            )
+        return masked_flat_search(
+            idx._device_values, row_masks.astype(jnp.uint32),
+            qmask.astype(jnp.uint32), q, k,
+        )
+
+    # -- text queries -------------------------------------------------------
+
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int | None = None,
+        categories: Sequence[str] | None = None,
+        hybrid_alpha: float | None = None,
+    ) -> list[list[SearchResult]]:
+        """End-to-end: encode → dense scan (→ hybrid merge) → hydrate."""
+        if self.embedder is None:
+            raise RuntimeError("SearchEngine needs an embedder for text queries")
+        k = k or self.cfg.top_k
+        with METRICS.timer("search.encode"):
+            query_embs = self.embedder.encode_texts(list(queries))
+        if hybrid_alpha is None and self.bm25 is not None:
+            hybrid_alpha = self.cfg.hybrid_alpha
+        if hybrid_alpha is not None and self.bm25 is not None and hybrid_alpha < 1.0:
+            scores, rows = self._hybrid(queries, query_embs, k, categories, hybrid_alpha)
+        else:
+            scores, rows = self.search_embeddings(query_embs, k, categories)
+        return [self._hydrate(scores[i], rows[i]) for i in range(len(queries))]
+
+    def _hybrid(self, queries, query_embs, k, categories, alpha):
+        """Union of dense and BM25 candidates, min-max normalized, combined."""
+        c = max(k, self.cfg.rerank_top_k)
+        dvals, drows = self.search_embeddings(query_embs, c, categories)
+        out_scores = np.full((len(queries), k), -np.inf, np.float32)
+        out_rows = np.full((len(queries), k), -1, np.int64)
+        for qi, query in enumerate(queries):
+            with METRICS.timer("search.bm25"):
+                bvals, brows = self.bm25.topk(query, c)
+            cand: dict[int, list[float]] = {}
+            dmask = drows[qi] >= 0
+            dv, dr = dvals[qi][dmask], drows[qi][dmask]
+
+            def norm(v):
+                if len(v) == 0:
+                    return v
+                lo, hi = float(np.min(v)), float(np.max(v))
+                return (v - lo) / (hi - lo) if hi > lo else np.ones_like(v)
+
+            for r, s in zip(dr, norm(dv)):
+                cand.setdefault(int(r), [0.0, 0.0])[0] = float(s)
+            for r, s in zip(brows, norm(bvals)):
+                if categories is not None and self.index.row_masks is not None:
+                    bits = self.index.category_mask(categories)
+                    if not (self.index.row_masks[int(r)] & bits):
+                        continue
+                cand.setdefault(int(r), [0.0, 0.0])[1] = float(s)
+            merged = sorted(
+                ((alpha * d + (1 - alpha) * b, r) for r, (d, b) in cand.items()),
+                reverse=True,
+            )[:k]
+            for j, (s, r) in enumerate(merged):
+                out_scores[qi, j] = s
+                out_rows[qi, j] = r
+        return out_scores, out_rows
+
+    # -- hydration ----------------------------------------------------------
+
+    def _load_meta(self):
+        if self._meta_cache is None and self.corpus is not None:
+            table = self.corpus.read_all(
+                columns=["chunk_id", "paper_id", "category", "section", "page", "text"]
+            )
+            self._meta_cache = {
+                name: table.column(name).to_pylist() for name in table.schema.names
+            }
+        return self._meta_cache
+
+    def _hydrate(self, scores, rows) -> list[SearchResult]:
+        meta = self._load_meta()
+        out = []
+        for s, r in zip(scores.tolist(), rows.tolist()):
+            if r < 0 or not np.isfinite(s):
+                continue
+            res = SearchResult(row=int(r), score=float(s))
+            if meta is not None:
+                res.chunk_id = meta["chunk_id"][r]
+                res.paper_id = meta["paper_id"][r]
+                res.category = meta["category"][r]
+                res.section = meta["section"][r]
+                res.page = int(meta["page"][r])
+                res.text = meta["text"][r]
+            out.append(res)
+        return out

@@ -18,6 +18,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# a sitecustomize in this image registers the TPU PJRT plugin at
+# interpreter start and overrides JAX_PLATFORMS; force CPU again
+# post-import so the 8-device simulation actually takes effect
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: XLA-CPU compiles of the scan-based encoder
+# take tens of seconds in this environment; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/arag_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 

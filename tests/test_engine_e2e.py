@@ -1,0 +1,156 @@
+"""End-to-end slice (SURVEY §7 minimum slice + §4d): synthetic corpus →
+corpus store → embed (bucketed, jitted) → index build (fp32/bf16/int8)
+→ SearchEngine text queries with category filters and hybrid BM25."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arxiv_rag_tpu.embed import Embedder
+from arxiv_rag_tpu.index import build_index
+from arxiv_rag_tpu.models import ModelConfig, init_params
+from arxiv_rag_tpu.search import BM25Index, SearchEngine
+from arxiv_rag_tpu.search.engine import SearchResult
+from arxiv_rag_tpu.store import ChunkRecord, CorpusReader, CorpusWriter
+from arxiv_rag_tpu.tokenize import WordPieceTokenizer
+
+WORDS = ["neural", "network", "training", "graph", "database", "query",
+         "quantum", "physics", "protein", "folding", "image", "vision",
+         "language", "model", "attention", "kernel", "tpu", "compiler"]
+VOCAB = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"] + WORDS + [".", ","]
+CFG = ModelConfig(vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+                  num_attention_heads=4, intermediate_size=64,
+                  max_position_embeddings=64)
+CATS = ["cs.LG", "cs.CV", "cs.DB"]
+
+
+def _corpus_texts(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    texts, cats = [], []
+    for i in range(n):
+        theme = rng.choice(len(WORDS) // 2)
+        words = rng.choice(WORDS[theme * 2 : theme * 2 + 2] + WORDS, size=12)
+        texts.append(" ".join(words))
+        cats.append(CATS[i % len(CATS)])
+    return texts, cats
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    vp = d / "vocab.txt"
+    vp.write_text("\n".join(VOCAB) + "\n")
+    tok = WordPieceTokenizer.from_vocab_file(vp)
+    params = init_params(jax.random.PRNGKey(2), CFG)
+    emb = Embedder(params, CFG, tok, buckets=(32,), batch_size=16,
+                   compute_dtype=jnp.float32)
+
+    texts, cats = _corpus_texts()
+    with CorpusWriter(d / "corpus") as w:
+        for i, (t, c) in enumerate(zip(texts, cats)):
+            w.add(ChunkRecord(paper_id=f"p{i:03d}", text=t, category=c,
+                              section="body", page=i % 5, quality=1.0))
+    corpus = CorpusReader(d / "corpus")
+    vectors = emb.encode_texts(texts)
+    return d, tok, emb, corpus, texts, cats, vectors
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_engine_dense_all_dtypes(stack, dtype):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype=dtype)
+    eng = SearchEngine(index, embedder=emb, corpus=corpus)
+    results = eng.search([texts[7], texts[20]], k=5)
+    assert len(results) == 2
+    # self-retrieval: the chunk itself must be hit #1 (its embedding is in the index)
+    assert results[0][0].row == 7
+    assert results[1][0].row == 20
+    assert results[0][0].paper_id == "p007"
+    assert results[0][0].text == texts[7]
+    assert all(isinstance(r, SearchResult) for r in results[0])
+    scores = [r.score for r in results[0]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_engine_category_filter(stack):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype="float32")
+    eng = SearchEngine(index, embedder=emb, corpus=corpus)
+    results = eng.search([texts[0]] * 2, k=5, categories=["cs.CV"])
+    for r in results[0]:
+        assert r.category == "cs.CV"
+    # unknown category is a loud error
+    with pytest.raises(KeyError):
+        eng.search([texts[0]], categories=["cs.XX"])
+
+
+def test_engine_int8_category_filter(stack):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype="int8")
+    eng = SearchEngine(index, embedder=emb, corpus=corpus)
+    results = eng.search([texts[3]], k=5, categories=["cs.DB"])
+    assert results[0], "int8 masked search returned nothing"
+    for r in results[0]:
+        assert r.category == "cs.DB"
+
+
+def test_engine_hybrid(stack):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype="float32")
+    bm25 = BM25Index.build(texts)
+    eng = SearchEngine(index, embedder=emb, corpus=corpus, bm25=bm25)
+    res_hybrid = eng.search([texts[11]], k=5, hybrid_alpha=0.7)
+    assert res_hybrid[0][0].row == 11  # exact text match dominates both signals
+    # alpha=1.0 behaves like pure dense
+    res_dense = eng.search([texts[11]], k=5, hybrid_alpha=1.0)
+    assert res_dense[0][0].row == 11
+
+
+def test_missing_categories_is_loud(stack):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, dtype="float32")  # no categories
+    eng = SearchEngine(index, embedder=emb, corpus=corpus)
+    with pytest.raises((ValueError, KeyError)):
+        eng.search([texts[0]], categories=["cs.LG"])
+
+
+def test_index_save_load_roundtrip(stack, tmp_path):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    for dtype in ("float32", "bfloat16", "int8"):
+        index = build_index(vectors, categories=cats, dtype=dtype)
+        index.save(tmp_path / dtype)
+        loaded = type(index).load(tmp_path / dtype)
+        assert loaded.dtype == dtype
+        assert loaded.num_rows == index.num_rows
+        assert loaded.categories == index.categories
+        np.testing.assert_array_equal(
+            np.asarray(loaded.values, np.float32) if dtype != "bfloat16"
+            else np.asarray(jnp.asarray(loaded.values, jnp.float32)),
+            np.asarray(index.values, np.float32) if dtype != "bfloat16"
+            else np.asarray(jnp.asarray(index.values, jnp.float32)),
+        )
+        np.testing.assert_array_equal(loaded.row_masks, index.row_masks)
+        # loaded index searches identically
+        eng = SearchEngine(loaded, embedder=emb, corpus=corpus)
+        res = eng.search([texts[5]], k=3)
+        assert res[0][0].row == 5
+
+
+def test_bm25_standalone():
+    texts = ["the cat sat on the mat", "dogs chase cats", "quantum computing"]
+    idx = BM25Index.build(texts)
+    scores, rows = idx.topk("cat", 2)
+    assert rows[0] in (0, 1)
+    assert (scores > 0).sum() >= 1
+    # save/load
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "bm25.npz"
+        idx.save(p)
+        idx2 = BM25Index.load(p)
+        s2, r2 = idx2.topk("cat", 2)
+        np.testing.assert_allclose(scores, s2)
+        np.testing.assert_array_equal(rows, r2)

@@ -1,0 +1,125 @@
+"""Pallas fused matmul+top-k kernel vs the numpy oracle (interpret mode
+on CPU; the same code compiles on TPU). BASELINE configs[3,4] acceptance:
+recall parity at equal memory, masks and int8 fused into the scan."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from arxiv_rag_tpu.ops import quantize_int8
+from arxiv_rag_tpu.ops.pallas_topk import fused_topk, fused_topk_int8, fused_topk_masked
+from arxiv_rag_tpu.ops.topk import cosine_topk_numpy, make_row_masks, recall_at_k
+
+N, D, Q, K = 3000, 128, 32, 10
+BLOCK = 512
+CATEGORIES = ["cs.LG", "cs.CV", "cs.AI"]
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    index = _normalize(rng.standard_normal((N, D), dtype=np.float32))
+    queries = _normalize(rng.standard_normal((Q, D), dtype=np.float32))
+    cats = rng.choice(CATEGORIES, size=N)
+    return index, queries, cats
+
+
+def test_fused_fp32_parity(data):
+    index, queries, _ = data
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    fv, fi = fused_topk(jnp.asarray(index), jnp.asarray(queries), K, block_rows=BLOCK)
+    r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=1e-5, candidate_scores=np.asarray(fv))
+    assert r == 1.0
+    np.testing.assert_allclose(np.asarray(fv), ov, atol=1e-5)
+
+
+def test_fused_handles_ragged_tail(data):
+    """N not a multiple of block_rows: padded rows must never surface."""
+    index, queries, _ = data
+    n = 2900  # 2900 = 5*512 + 340
+    ov, oi = cosine_topk_numpy(index[:n], queries, K)
+    fv, fi = fused_topk(jnp.asarray(index[:n]), jnp.asarray(queries), K, block_rows=BLOCK)
+    assert np.asarray(fi).max() < n
+    r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=1e-5, candidate_scores=np.asarray(fv))
+    assert r == 1.0
+
+
+def test_fused_tie_breaking_matches_topk(data):
+    """Duplicate rows ⇒ exact score ties across blocks; lowest global
+    index must win, like lax.top_k."""
+    _, queries, _ = data
+    rng = np.random.default_rng(5)
+    base = _normalize(rng.standard_normal((40, D), dtype=np.float32))
+    index = np.tile(base, (40, 1))  # 1600 rows, every row duplicated 40×
+    fv, fi = fused_topk(jnp.asarray(index), jnp.asarray(queries), K, block_rows=BLOCK)
+    scores = queries @ index.T
+    import jax.lax
+
+    lv, li = jax.lax.top_k(jnp.asarray(scores), K)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(li))
+
+
+def test_fused_bf16_recall(data):
+    index, queries, _ = data
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    fv, fi = fused_topk(jnp.asarray(index, jnp.bfloat16), jnp.asarray(queries), K, block_rows=BLOCK)
+    r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=5e-3, candidate_scores=np.asarray(fv, np.float32))
+    assert r >= 0.99
+
+
+def test_fused_masked(data):
+    index, queries, cats = data
+    row_masks = jnp.asarray(make_row_masks(cats, CATEGORIES).astype(np.int32))
+    want = "cs.CV"
+    qmask = jnp.full((Q,), 1 << CATEGORIES.index(want), jnp.int32)
+    fv, fi = fused_topk_masked(
+        jnp.asarray(index), row_masks, qmask, jnp.asarray(queries), K, block_rows=BLOCK
+    )
+    fi = np.asarray(fi)
+    assert all(cats[i] == want for row in fi for i in row)
+    sub = np.where(cats == want)[0]
+    ov, oi = cosine_topk_numpy(index[sub], queries, K)
+    r = recall_at_k(fi, sub[oi], ov, tie_tol=1e-5, candidate_scores=np.asarray(fv))
+    assert r == 1.0
+
+
+def test_fused_mask_excludes_all(data):
+    index, queries, cats = data
+    row_masks = jnp.asarray(make_row_masks(cats, CATEGORIES).astype(np.int32))
+    qmask = jnp.zeros((Q,), jnp.int32)
+    fv, fi = fused_topk_masked(
+        jnp.asarray(index), row_masks, qmask, jnp.asarray(queries), K, block_rows=BLOCK
+    )
+    assert np.all(np.isneginf(np.asarray(fv)))
+    assert np.all(np.asarray(fi) == -1)
+
+
+def test_fused_int8_recall(data):
+    index, queries, _ = data
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    values, scales = quantize_int8(index)
+    fv, fi = fused_topk_int8(values, scales, jnp.asarray(queries), K, block_rows=BLOCK)
+    r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=2e-2, candidate_scores=np.asarray(fv))
+    assert r >= 0.95, f"int8 recall {r}"
+
+
+def test_fused_per_query_masks_differ(data):
+    """Each query can carry its own category filter."""
+    index, queries, cats = data
+    row_masks = jnp.asarray(make_row_masks(cats, CATEGORIES).astype(np.int32))
+    qmask = np.array(
+        [1 << (i % len(CATEGORIES)) for i in range(Q)], np.int32
+    )
+    _, fi = fused_topk_masked(
+        jnp.asarray(index), row_masks, jnp.asarray(qmask), jnp.asarray(queries), K,
+        block_rows=BLOCK,
+    )
+    fi = np.asarray(fi)
+    for qi in range(Q):
+        want = CATEGORIES[qi % len(CATEGORIES)]
+        assert all(cats[i] == want for i in fi[qi])

@@ -1,0 +1,70 @@
+"""Multi-chip sharded search on the 8-device CPU simulation mesh:
+shard-local top-k + all_gather merge must equal the single-host oracle
+(BASELINE configs[5] acceptance, SURVEY §4c strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arxiv_rag_tpu.ops.topk import cosine_topk_numpy, recall_at_k
+from arxiv_rag_tpu.parallel import data_mesh, shard_index_rows, sharded_topk
+
+N, D, Q, K = 4100, 64, 16, 10  # N deliberately not divisible by 8
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    index = _normalize(rng.standard_normal((N, D), dtype=np.float32))
+    queries = _normalize(rng.standard_normal((Q, D), dtype=np.float32))
+    return index, queries
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_sharded_matches_oracle(data, n_devices):
+    index, queries = data
+    mesh = data_mesh(n_devices)
+    sharded, n_valid = shard_index_rows(index, mesh)
+    assert n_valid == N
+    vals, gids = sharded_topk(sharded, jnp.asarray(queries), K, mesh, n_valid=n_valid)
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    gids = np.asarray(gids)
+    assert gids.max() < N  # padding never surfaces
+    r = recall_at_k(gids, oi, ov, tie_tol=1e-5, candidate_scores=np.asarray(vals))
+    assert r == 1.0, f"{n_devices}-device recall {r}"
+    np.testing.assert_allclose(np.asarray(vals), ov, atol=1e-5)
+
+
+def test_scaling_devices_agree(data):
+    """1-chip and 8-chip results are identical (merge is lossless)."""
+    index, queries = data
+    results = {}
+    for nd in (1, 8):
+        mesh = data_mesh(nd)
+        sharded, n_valid = shard_index_rows(index, mesh)
+        vals, gids = sharded_topk(sharded, jnp.asarray(queries), K, mesh, n_valid=n_valid)
+        results[nd] = (np.asarray(vals), np.asarray(gids))
+    np.testing.assert_allclose(results[1][0], results[8][0], atol=1e-5)
+
+
+def test_bf16_sharded_recall(data):
+    index, queries = data
+    mesh = data_mesh(8)
+    sharded, n_valid = shard_index_rows(index.astype(jnp.bfloat16), mesh)
+    vals, gids = sharded_topk(sharded, jnp.asarray(queries), K, mesh, n_valid=n_valid)
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    r = recall_at_k(
+        np.asarray(gids), oi, ov, tie_tol=5e-3,
+        candidate_scores=np.asarray(vals, np.float32),
+    )
+    assert r >= 0.99
