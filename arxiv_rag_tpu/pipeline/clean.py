@@ -1,0 +1,135 @@
+"""Text cleaning — the TextProcessor.clean contract.
+
+Behavioral parity with ``text_processor.py:84-167``: strip control
+characters (:98-102), remove arXiv identifier headers (:106-112) and
+repeated running titles (:114-142), drop standalone page numbers
+(:144-152), normalize whitespace (:154-161), then run the formula
+improvement hook (:163-165). Math spans are placeholder-protected
+through the lossy passes (pipeline/formulas.py), which the reference
+does inside its formula processor.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+from arxiv_rag_tpu.pipeline.formulas import (
+    improve_formula_formatting,
+    protect_formulas,
+    restore_formulas,
+)
+
+CONTROL_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f�]")
+ARXIV_HEADERS = [
+    re.compile(r"^\s*arXiv:\s*\d{4}\.\d{4,5}(v\d+)?\s*(\[[\w.\-]+\])?.*$", re.MULTILINE),
+    re.compile(r"^\s*arXiv:[\w\-./]+\s+\d{1,2}\s+\w{3,9}\s+\d{4}\s*$", re.MULTILINE),
+    re.compile(r"^\s*Preprint\.?\s+Under review\.?\s*$", re.IGNORECASE | re.MULTILINE),
+]
+PAGE_NUMBER = re.compile(r"^\s*(?:page\s+)?\d{1,4}(\s+of\s+\d{1,4})?\s*$",
+                         re.IGNORECASE | re.MULTILINE)
+
+
+@dataclass
+class CleanStats:
+    control_chars: int = 0
+    headers_removed: int = 0
+    repeated_lines_removed: int = 0
+    page_numbers_removed: int = 0
+
+
+@dataclass
+class TextCleaner:
+    remove_headers: bool = True
+    remove_page_numbers: bool = True
+    improve_formulas: bool = True
+    repeat_threshold: int = 3  # a line appearing on >= this many "pages" is a running header
+    stats: CleanStats = field(default_factory=CleanStats)
+
+    def clean(self, text: str, page_texts: list[str] | None = None) -> str:
+        self.stats = CleanStats()
+        protected, saved = protect_formulas(text)
+
+        n = len(CONTROL_CHARS.findall(protected))
+        self.stats.control_chars = n
+        protected = CONTROL_CHARS.sub("", protected)
+
+        if self.remove_headers:
+            for pat in ARXIV_HEADERS:
+                protected, k = pat.subn("", protected)
+                self.stats.headers_removed += k
+            protected = self._remove_repeated_lines(protected, page_texts)
+
+        if self.remove_page_numbers:
+            protected, k = PAGE_NUMBER.subn("", protected)
+            self.stats.page_numbers_removed = k
+
+        protected = self._normalize_whitespace(protected)
+        text = restore_formulas(protected, saved)
+        if self.improve_formulas:
+            text = improve_formula_formatting(text)
+        return text
+
+    def _remove_repeated_lines(self, text: str, page_texts: list[str] | None) -> str:
+        """Running titles/headers repeat near-identically across pages
+        (reference counts repeated title lines, ``text_processor.py:114-142``).
+        Without page boundaries, fall back to counting identical short
+        lines across the document."""
+        lines = text.split("\n")
+        counts = Counter(
+            ln.strip().lower() for ln in lines
+            if 5 <= len(ln.strip()) <= 120 and not ln.strip()[0].isdigit()
+        )
+        threshold = (
+            max(self.repeat_threshold, (len(page_texts) or 0) // 2)
+            if page_texts
+            else max(self.repeat_threshold, 3)
+        )
+        repeated = {
+            ln for ln, c in counts.items()
+            if c >= threshold and not _looks_like_prose(ln)
+        }
+        if not repeated:
+            return text
+        out = []
+        seen_once: set[str] = set()
+        for ln in lines:
+            key = ln.strip().lower()
+            if key in repeated:
+                if key in seen_once:
+                    self.stats.repeated_lines_removed += 1
+                    continue
+                seen_once.add(key)  # keep the first occurrence (real title)
+            out.append(ln)
+        return "\n".join(out)
+
+    @staticmethod
+    def _normalize_whitespace(text: str) -> str:
+        text = text.replace(" ", " ").replace("\t", " ")
+        text = re.sub(r" {2,}", " ", text)
+        text = re.sub(r" +\n", "\n", text)
+        text = re.sub(r"\n{3,}", "\n\n", text)
+        return text.strip()
+
+
+def _looks_like_prose(line: str) -> bool:
+    """Sentences (ending punctuation, many words) are never headers."""
+    words = line.split()
+    return len(words) > 12 or line.endswith((".", "!", "?", ";", ","))
+
+
+def dehyphenate(text: str) -> str:
+    """Join words broken across line ends: ``convolu-\\ntional`` →
+    ``convolutional`` (extraction post-processing family,
+    ``pdf_extractor.py:64-154`` regex passes)."""
+    return re.sub(r"(\w{2,})-\n(\w{2,})", r"\1\2", text)
+
+
+def fix_ligatures(text: str) -> str:
+    """Common PDF ligature codepoints → ASCII."""
+    table = {"ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl",
+             "–": "-", "—": "--", "'": "'", "'": "'", """: '"', """: '"'}
+    for k, v in table.items():
+        text = text.replace(k, v)
+    return text

@@ -1,0 +1,279 @@
+"""PDFExtractor: strategy cascade + quality competition + caching.
+
+The reference runs PyMuPDF → pdfplumber → pypdf on *every* paper and
+keeps the best score (``pdf_extractor.py:338-382`` — it deliberately
+never early-exits). This build keeps the quality-competition objective
+but short-circuits at ``accept_score`` (SURVEY §7: "drop the
+try-everything-always loop in favor of score-threshold early exit").
+
+Strategies here:
+  1. ``native``    — the in-repo interpreter (pdftext.py), position-aware;
+  2. ``simple``    — same parser, but no layout pass (raw span order);
+     catches documents where the layout heuristics hurt;
+  3. ``external``  — optional fitz/pdfplumber/pypdf if present in the
+     image (gated import; absent here, kept for portability);
+  4. OCR has no backend in this image (no tesseract); scanned PDFs are
+     flagged ``pdf_type='scanned'`` and reported as failed with a
+     distinct error, never silently empty (reference OCR path:
+     ``pdf_extractor.py:5727-5875``).
+
+Cache: JSON sidecar keyed by (path, mtime, size) like
+``pdf_extractor.py:194-242``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
+
+from arxiv_rag_tpu.logging_utils import get_logger
+
+from . import pdfcore, pdftext
+from .quality import QualityReport, score_text, validate_extraction
+
+log = get_logger("extract")
+
+
+@dataclass
+class ExtractionResult:
+    text: str
+    pages: list[str]
+    method_used: str
+    quality_score: float
+    pdf_type: str  # text | scanned | hybrid | unknown
+    success: bool
+    metadata: dict = field(default_factory=dict)
+    error: str | None = None
+
+    def to_dict(self) -> dict:
+        return {
+            "text": self.text,
+            "pages": self.pages,
+            "method_used": self.method_used,
+            "quality_score": self.quality_score,
+            "pdf_type": self.pdf_type,
+            "success": self.success,
+            "metadata": self.metadata,
+            "error": self.error,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExtractionResult":
+        return cls(
+            text=d.get("text", ""),
+            pages=list(d.get("pages", [])),
+            method_used=d.get("method_used", "cache"),
+            quality_score=float(d.get("quality_score", 0.0)),
+            pdf_type=d.get("pdf_type", "unknown"),
+            success=bool(d.get("success", False)),
+            metadata=dict(d.get("metadata", {})),
+            error=d.get("error"),
+        )
+
+
+def _strategy_native(doc: pdfcore.Document) -> list[str]:
+    return pdftext.extract_text(doc)
+
+
+def _strategy_simple(doc: pdfcore.Document) -> list[str]:
+    """No layout reconstruction: spans in emission order."""
+    pages = []
+    for page in doc.pages():
+        contents = doc.resolve(page.get("Contents"))
+        datas: list[bytes] = []
+        if isinstance(contents, pdfcore.Stream):
+            datas.append(contents.data())
+        elif isinstance(contents, list):
+            for c in contents:
+                c = doc.resolve(c)
+                if isinstance(c, pdfcore.Stream):
+                    datas.append(c.data())
+        spans: list[pdftext.Span] = []
+        interp = pdftext.ContentInterpreter(doc, doc.resolve(page.get("Resources")) or {}, spans)
+        if datas:
+            interp.run(b"\n".join(datas))
+        parts: list[str] = []
+        last_y = None
+        for s in spans:
+            if last_y is not None and abs(s.y - last_y) > max(2.0, s.size * 0.4):
+                parts.append("\n")
+            elif parts and not parts[-1].endswith((" ", "\n")):
+                parts.append(" ")
+            parts.append(s.text)
+            last_y = s.y
+        pages.append("".join(parts).strip())
+    return pages
+
+
+def _external_strategies() -> list[tuple[str, Callable[[bytes], list[str]]]]:
+    """Optional third-party extractors, if the image happens to have them."""
+    out: list[tuple[str, Callable[[bytes], list[str]]]] = []
+    try:  # pragma: no cover - not present in this image
+        import fitz  # type: ignore
+
+        def _fitz(buf: bytes) -> list[str]:
+            with fitz.open(stream=buf, filetype="pdf") as d:
+                return [p.get_text() for p in d]
+
+        out.append(("pymupdf", _fitz))
+    except ImportError:
+        pass
+    try:  # pragma: no cover
+        import pypdf  # type: ignore
+        import io
+
+        def _pypdf(buf: bytes) -> list[str]:
+            r = pypdf.PdfReader(io.BytesIO(buf))
+            return [p.extract_text() or "" for p in r.pages]
+
+        out.append(("pypdf", _pypdf))
+    except ImportError:
+        pass
+    return out
+
+
+class PDFExtractor:
+    """Quality-competition extractor with sidecar caching.
+
+    API parity with the reference facade (``pdf_extractor.py:244-439``):
+    ``extract(path) -> ExtractionResult`` with the same field names.
+    """
+
+    def __init__(
+        self,
+        cache_dir: str | Path | None = None,
+        accept_score: float = 0.80,
+        min_score: float = 0.25,
+        use_cache: bool = True,
+    ) -> None:
+        self.cache_dir = Path(cache_dir) if cache_dir else None
+        self.accept_score = accept_score
+        self.min_score = min_score
+        self.use_cache = use_cache and cache_dir is not None
+        if self.cache_dir:
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+    # -- cache -------------------------------------------------------------
+
+    def _cache_path(self, path: Path) -> Path | None:
+        if not self.use_cache or self.cache_dir is None:
+            return None
+        try:
+            st = path.stat()
+            key = f"{path.resolve()}|{st.st_mtime_ns}|{st.st_size}"
+        except OSError:
+            return None
+        h = hashlib.sha1(key.encode()).hexdigest()[:24]
+        return self.cache_dir / f"{h}.json"
+
+    # -- type detection ----------------------------------------------------
+
+    @staticmethod
+    def detect_pdf_type(doc: pdfcore.Document, sample_pages: int = 3) -> str:
+        """text | scanned | hybrid by sampling text yield of early pages
+        (reference: ``pdf_extractor.py:5875-5930``)."""
+        pages = doc.pages()[:sample_pages]
+        if not pages:
+            return "unknown"
+        yields = []
+        for p in pages:
+            try:
+                txt = pdftext.extract_page_text(doc, p)
+            except Exception:
+                txt = ""
+            yields.append(len(txt.strip()))
+        texty = sum(1 for y in yields if y > 100)
+        if texty == 0:
+            return "scanned"
+        if texty < len(yields):
+            return "hybrid"
+        return "text"
+
+    # -- main --------------------------------------------------------------
+
+    def extract(self, path: str | Path) -> ExtractionResult:
+        path = Path(path)
+        cpath = self._cache_path(path)
+        if cpath is not None and cpath.exists():
+            try:
+                return ExtractionResult.from_dict(json.loads(cpath.read_text()))
+            except (json.JSONDecodeError, OSError):
+                pass
+        result = self.extract_bytes(path.read_bytes())
+        if cpath is not None and result.success:
+            try:
+                cpath.write_text(json.dumps(result.to_dict()))
+            except OSError:
+                pass
+        return result
+
+    def extract_bytes(self, buf: bytes) -> ExtractionResult:
+        t0 = time.perf_counter()
+        try:
+            doc = pdfcore.open_pdf(buf)
+        except pdfcore.PDFEncryptedError:
+            return ExtractionResult("", [], "none", 0.0, "unknown", False, error="encrypted")
+        except pdfcore.PDFError as exc:
+            return ExtractionResult("", [], "none", 0.0, "unknown", False, error=f"parse: {exc}")
+
+        pdf_type = self.detect_pdf_type(doc)
+        n_pages = len(doc.pages())
+        if pdf_type == "scanned":
+            return ExtractionResult(
+                "", [], "none", 0.0, "scanned", False,
+                metadata={"num_pages": n_pages},
+                error="scanned PDF; no OCR backend in this environment",
+            )
+
+        strategies: list[tuple[str, Callable[[], list[str]]]] = [
+            ("native", lambda: _strategy_native(doc)),
+            ("simple", lambda: _strategy_simple(doc)),
+        ]
+        for name, fn in _external_strategies():
+            strategies.append((name, lambda fn=fn: fn(buf)))
+
+        best: tuple[float, str, list[str], QualityReport] | None = None
+        for name, fn in strategies:
+            try:
+                pages = fn()
+            except Exception as exc:
+                log.debug("strategy %s failed: %s", name, exc)
+                continue
+            text = "\n\n".join(pages)
+            rep = score_text(text, num_pages=max(1, len(pages)))
+            if best is None or rep.score > best[0]:
+                best = (rep.score, name, pages, rep)
+            if rep.score >= self.accept_score:
+                break  # early exit — the deliberate departure from :352-372
+
+        if best is None:
+            return ExtractionResult(
+                "", [], "none", 0.0, pdf_type, False,
+                metadata={"num_pages": n_pages}, error="all strategies failed",
+            )
+        score, method, pages, rep = best
+        validation = validate_extraction(pages)
+        meta = {
+            "num_pages": len(pages),
+            "chars_per_page": rep.chars_per_page,
+            "word_ratio": rep.word_ratio,
+            "garbage_ratio": rep.garbage_ratio,
+            "validation": validation.issues,
+            "extract_seconds": round(time.perf_counter() - t0, 4),
+        }
+        text = "\n\n".join(pages)
+        success = score >= self.min_score and bool(text.strip())
+        return ExtractionResult(
+            text=text,
+            pages=pages,
+            method_used=method,
+            quality_score=round(score, 4),
+            pdf_type=pdf_type,
+            success=success,
+            metadata=meta,
+            error=None if success else f"quality {score:.2f} below min {self.min_score}",
+        )

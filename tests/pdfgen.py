@@ -1,0 +1,155 @@
+"""Tiny PDF writer used to synthesize test documents for the in-repo
+PDF parser. Supports classic xref tables or cross-reference streams +
+object streams, FlateDecode content, multiple pages/columns, and
+/Differences-encoded fonts — enough to exercise every parser path."""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _esc(s: str) -> bytes:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1", "replace")
+
+
+def content_stream_for_lines(
+    lines: list[tuple[float, float, str]], font: str = "F1", size: float = 10.0
+) -> bytes:
+    """Build a content stream placing each (x, y, text) with Td."""
+    out = [b"BT", f"/{font} {size} Tf".encode()]
+    prev = (0.0, 0.0)
+    for x, y, text in lines:
+        dx, dy = x - prev[0], y - prev[1]
+        out.append(f"{dx:.2f} {dy:.2f} Td".encode())
+        out.append(b"(" + _esc(text) + b") Tj")
+        prev = (x, y)
+    out.append(b"ET")
+    return b"\n".join(out)
+
+
+def make_pdf(
+    page_contents: list[bytes],
+    compress: bool = True,
+    xref_stream: bool = False,
+    font_dict: bytes | None = None,
+) -> bytes:
+    """Assemble a PDF whose i-th page has the i-th content stream."""
+    n_pages = len(page_contents)
+    font = font_dict or b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objects: dict[int, bytes] = {}
+    # 1 catalog, 2 pages root, 3 font; pages at 4..; contents after
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+    objects[3] = font
+    first_content = 4 + n_pages
+    for i in range(n_pages):
+        objects[4 + i] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> /Contents {first_content + i} 0 R >>"
+        ).encode()
+    stream_objs: dict[int, tuple[bytes, bytes]] = {}
+    for i, data in enumerate(page_contents):
+        if compress:
+            payload = zlib.compress(data)
+            sdict = f"<< /Length {len(payload)} /Filter /FlateDecode >>".encode()
+        else:
+            payload = data
+            sdict = f"<< /Length {len(payload)} >>".encode()
+        stream_objs[first_content + i] = (sdict, payload)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(f"{num} 0 obj\n".encode())
+        buf.extend(body)
+        buf.extend(b"\nendobj\n")
+
+    if not xref_stream:
+        for num in sorted(objects):
+            emit(num, objects[num])
+        for num in sorted(stream_objs):
+            sdict, payload = stream_objs[num]
+            emit(num, sdict + b"\nstream\n" + payload + b"\nendstream")
+        max_num = max(list(objects) + list(stream_objs))
+        xref_pos = len(buf)
+        buf.extend(f"xref\n0 {max_num + 1}\n".encode())
+        buf.extend(b"0000000000 65535 f \n")
+        for num in range(1, max_num + 1):
+            buf.extend(f"{offsets[num]:010d} 00000 n \n".encode())
+        buf.extend(
+            f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF".encode()
+        )
+        return bytes(buf)
+
+    # xref-stream flavor: non-stream objects go into an object stream
+    objstm_num = max(list(objects) + list(stream_objs)) + 1
+    xrefstm_num = objstm_num + 1
+    header_parts = []
+    body_parts = []
+    off = 0
+    for num in sorted(objects):
+        body = objects[num] + b"\n"
+        header_parts.append(f"{num} {off}".encode())
+        body_parts.append(body)
+        off += len(body)
+    header = b" ".join(header_parts) + b"\n"
+    objstm_payload = header + b"".join(body_parts)
+    compressed = zlib.compress(objstm_payload)
+    objstm_dict = (
+        f"<< /Type /ObjStm /N {len(objects)} /First {len(header)} "
+        f"/Length {len(compressed)} /Filter /FlateDecode >>"
+    ).encode()
+    for num in sorted(stream_objs):
+        sdict, payload = stream_objs[num]
+        emit(num, sdict + b"\nstream\n" + payload + b"\nendstream")
+    emit(objstm_num, objstm_dict + b"\nstream\n" + compressed + b"\nendstream")
+
+    # build the xref stream: type-2 entries for objects in the objstm
+    max_num = xrefstm_num
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int) -> bytes:
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    rows += row(0, 0, 65535)
+    for num in range(1, max_num + 1):
+        if num in objects:
+            rows += row(2, objstm_num, sorted(objects).index(num))
+        elif num in offsets:
+            rows += row(1, offsets[num], 0)
+        elif num == xrefstm_num:
+            rows += row(1, 0, 0)  # patched below
+        else:
+            rows += row(0, 0, 0)
+    xref_pos = len(buf)
+    # patch xrefstm's own offset
+    idx = xrefstm_num * 7
+    rows[idx : idx + 7] = row(1, xref_pos, 0)
+    xref_payload = zlib.compress(bytes(rows))
+    xref_dict = (
+        f"<< /Type /XRef /Size {max_num + 1} /W [1 4 2] /Root 1 0 R "
+        f"/Length {len(xref_payload)} /Filter /FlateDecode >>"
+    ).encode()
+    emit(xrefstm_num, xref_dict + b"\nstream\n" + xref_payload + b"\nendstream")
+    buf.extend(f"startxref\n{xref_pos}\n%%EOF".encode())
+    return bytes(buf)
+
+
+def simple_text_pdf(pages_text: list[str], **kw) -> bytes:
+    """One text block per page, wrapped at ~80 chars, 10pt."""
+    contents = []
+    for text in pages_text:
+        lines = []
+        y = 750.0
+        for raw_line in text.split("\n"):
+            while len(raw_line) > 90:
+                lines.append((72.0, y, raw_line[:90]))
+                raw_line = raw_line[90:]
+                y -= 12
+            lines.append((72.0, y, raw_line))
+            y -= 12
+        contents.append(content_stream_for_lines(lines))
+    return make_pdf(contents, **kw)
