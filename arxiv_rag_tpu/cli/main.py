@@ -1,0 +1,430 @@
+"""`arag` — the framework CLI.
+
+Verbs mirror the reference's per-stage CLIs plus the new engine:
+
+  download  1-downloader/downloader.py:979-1030
+  dedup     1-downloader/deduplicate.py:143-188
+  chunk     3-chunks/pipeline/run.py:50-166 (extract+chunk)
+  repair    fix_chunk_issues.py / fix_embedding_issues.py
+  augment   3-chunks/improvement/improve_chunks.py:279-305
+  audit     the five analyzer CLIs (SURVEY §2 #8/#16/#18)
+  convert   HF checkpoint → framework checkpoint
+  embed     4-embed/generation/generate_embeddings_parallel.py:470-618
+  index     index build over stored embeddings
+  search    query-time engine (config-only in the reference)
+  bench     the missing benchmarks/ harness
+
+Heavy imports (jax, pyarrow) are deferred into each verb so
+`arag download --help` never pays TPU init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import threading
+from pathlib import Path
+
+
+def _add_download(sub) -> None:
+    p = sub.add_parser("download", help="fetch arXiv PDFs from GCS")
+    p.add_argument("--ids", required=True, help="file of category|paper_id lines")
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-workers", type=int, default=12)
+    p.add_argument("--max-versions", type=int, default=4)
+    p.add_argument("--min-free-gb", type=float, default=5.0)
+    p.add_argument("--limit", type=int, default=0)
+
+
+def cmd_download(args) -> int:
+    from arxiv_rag_tpu.ingest import Downloader, DownloaderConfig
+    from arxiv_rag_tpu.ingest.downloader import parse_papers_file
+
+    papers = parse_papers_file(args.ids)
+    if args.limit:
+        papers = papers[: args.limit]
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    dl = Downloader(
+        DownloaderConfig(
+            output_dir=Path(args.output),
+            max_workers=args.max_workers,
+            max_versions=args.max_versions,
+            min_free_gb=args.min_free_gb,
+        ),
+        stop_event=stop,
+    )
+    res = dl.download(papers)
+    print(json.dumps(res.__dict__, default=str))
+    return 0 if res.failed == 0 else 1
+
+
+def _add_dedup(sub) -> None:
+    p = sub.add_parser("dedup", help="remove cross-listed duplicate PDFs")
+    p.add_argument("root")
+    p.add_argument("--execute", action="store_true", help="actually delete (default dry-run)")
+
+
+def cmd_dedup(args) -> int:
+    from arxiv_rag_tpu.ingest import deduplicate
+
+    rep = deduplicate(args.root, execute=args.execute)
+    print(json.dumps({k: v for k, v in rep.__dict__.items() if k != "kept"}))
+    return 0
+
+
+def _add_chunk(sub) -> None:
+    p = sub.add_parser("chunk", help="extract+chunk PDFs into the corpus store")
+    p.add_argument("--pdfs", required=True, help="PDF root ({cat}/{ym}/{id}.pdf)")
+    p.add_argument("--corpus", required=True, help="output corpus dir")
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--workers", type=int, default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--paper-id", default=None)
+    p.add_argument("--no-skip", action="store_true")
+
+
+def cmd_chunk(args) -> int:
+    from arxiv_rag_tpu.config import load_config
+    from arxiv_rag_tpu.pipeline.runner import PipelineRunner
+
+    cfg = load_config(args.config)
+    root = Path(args.pdfs)
+    papers = []
+    for pdf in sorted(root.rglob("*.pdf")):
+        rel = pdf.relative_to(root)
+        if pdf.name.startswith("._"):  # macOS junk filter, pipeline.py:599
+            continue
+        cat = rel.parts[0] if len(rel.parts) >= 3 else ""
+        pid = pdf.stem.replace("_", "/")
+        if args.paper_id and pid != args.paper_id:
+            continue
+        papers.append((pid, str(pdf), cat))
+    if args.limit:
+        papers = papers[: args.limit]
+    runner = PipelineRunner(cfg, corpus_dir=args.corpus)
+    stats = runner.run(papers, skip_processed=not args.no_skip, max_workers=args.workers)
+    runner.close()
+    print(json.dumps(stats))
+    return 0 if stats["failed"] == 0 else 1
+
+
+def _add_repair(sub) -> None:
+    p = sub.add_parser("repair", help="enforce the chunk contract (split/drop/clean)")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-chars", type=int, default=50)
+    p.add_argument("--max-chars", type=int, default=2000)
+    p.add_argument("--min-quality", type=float, default=0.7)
+    p.add_argument("--no-headers", action="store_true")
+    p.add_argument("--keep-duplicates", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+
+
+def cmd_repair(args) -> int:
+    from arxiv_rag_tpu.pipeline.repair import repair_corpus
+
+    stats = repair_corpus(
+        args.corpus,
+        args.out,
+        min_chars=args.min_chars,
+        max_chars=args.max_chars,
+        min_quality=args.min_quality,
+        add_context_headers=not args.no_headers,
+        drop_duplicates=not args.keep_duplicates,
+        dry_run=args.dry_run,
+    )
+    print(json.dumps(stats.__dict__))
+    return 0
+
+
+def _add_augment(sub) -> None:
+    p = sub.add_parser("augment", help="build per-paper light payloads")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True, help="output JSONL")
+    p.add_argument("--min-readability", type=float, default=None)
+    p.add_argument("--min-citations", type=int, default=None)
+
+
+def cmd_augment(args) -> int:
+    from collections import defaultdict
+
+    from arxiv_rag_tpu.pipeline.augment import build_light_payload, passes_filters
+    from arxiv_rag_tpu.pipeline.repair import load_paper_titles
+    from arxiv_rag_tpu.store.corpus import CorpusReader
+
+    reader = CorpusReader(args.corpus)
+    titles = load_paper_titles(args.corpus)
+    texts: dict[str, list[tuple[int, str]]] = defaultdict(list)
+    for batch in reader.iter_batches(columns=["paper_id", "chunk_index", "text"]):
+        for row in batch.to_pylist():
+            texts[row["paper_id"]].append((row["chunk_index"], row["text"]))
+    kept = 0
+    with open(args.out, "w") as f:
+        for pid, chunks in texts.items():
+            body = "\n\n".join(t for _, t in sorted(chunks))
+            payload = build_light_payload(pid, body, title=titles.get(pid, ""))
+            if passes_filters(payload, args.min_readability, args.min_citations):
+                f.write(json.dumps(payload.to_dict()) + "\n")
+                kept += 1
+    print(json.dumps({"papers": len(texts), "kept": kept}))
+    return 0
+
+
+def _add_audit(sub) -> None:
+    p = sub.add_parser("audit", help="corpus census + readiness report")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--json-out", default=None)
+
+
+def cmd_audit(args) -> int:
+    from arxiv_rag_tpu.audit import audit_corpus, format_report, save_report
+
+    rep = audit_corpus(args.corpus)
+    print(format_report(rep))
+    if args.json_out:
+        save_report(rep, args.json_out)
+    return 0
+
+
+def _add_convert(sub) -> None:
+    p = sub.add_parser("convert", help="convert an HF MPNet checkpoint")
+    p.add_argument("--hf-dir", required=True, help="dir with model.safetensors + config.json")
+    p.add_argument("--out", required=True)
+
+
+def cmd_convert(args) -> int:
+    from arxiv_rag_tpu.models.convert import (
+        from_safetensors,
+        load_model_config,
+        save_checkpoint,
+    )
+
+    cfg = load_model_config(args.hf_dir)
+    params = from_safetensors(args.hf_dir, cfg)
+    save_checkpoint(args.out, params, cfg)
+    print(json.dumps({"saved": args.out, "hidden": cfg.hidden_size, "layers": cfg.num_hidden_layers}))
+    return 0
+
+
+def _add_embed(sub) -> None:
+    p = sub.add_parser("embed", help="embed corpus chunks on TPU")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True, help="output embeddings dir")
+    p.add_argument("--checkpoint", default=None, help="converted checkpoint dir")
+    p.add_argument("--vocab", default=None, help="tokenizer vocab.txt")
+    p.add_argument("--random-init", action="store_true", help="random weights (smoke runs)")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--min-quality", type=float, default=0.9)
+    p.add_argument("--shard-batches", action="store_true", help="shard batches over the device mesh")
+
+
+def cmd_embed(args) -> int:
+    import numpy as np
+
+    from arxiv_rag_tpu.embed import Embedder
+    from arxiv_rag_tpu.store.corpus import CorpusReader
+    from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+    if not args.checkpoint and not args.random_init:
+        print("need --checkpoint or --random-init", file=sys.stderr)
+        return 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.models import ModelConfig, init_params
+    from arxiv_rag_tpu.models.convert import load_checkpoint
+
+    if args.checkpoint:
+        params, mcfg = load_checkpoint(args.checkpoint)
+        vocab_path = args.vocab or str(Path(args.checkpoint) / "vocab.txt")
+    else:
+        mcfg = ModelConfig()
+        params = init_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
+        vocab_path = args.vocab
+    tokenizer = (
+        WordPieceTokenizer.from_vocab_file(vocab_path)
+        if vocab_path and Path(vocab_path).exists()
+        else WordPieceTokenizer.toy()
+    )
+    mesh = None
+    if args.shard_batches:
+        from arxiv_rag_tpu.parallel import data_mesh
+
+        mesh = data_mesh()
+    embedder = Embedder(params, mcfg, tokenizer, batch_size=args.batch_size, mesh=mesh)
+
+    reader = CorpusReader(args.corpus)
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    manifest = {"batches": [], "dim": mcfg.hidden_size, "model": args.checkpoint or "random-init"}
+    total = 0
+    for i, batch in enumerate(
+        reader.iter_batches(batch_size=8192, columns=["chunk_id", "text"], min_quality=args.min_quality)
+    ):
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("chunk_id").to_pylist()
+        embs = embedder.encode_texts(texts)
+        np.save(out_dir / f"embeddings_{i:05d}.npy", embs)
+        (out_dir / f"ids_{i:05d}.json").write_text(json.dumps(ids))
+        manifest["batches"].append({"file": f"embeddings_{i:05d}.npy", "rows": len(ids)})
+        total += len(ids)
+    manifest["total_rows"] = total
+    (out_dir / "index.json").write_text(json.dumps(manifest, indent=1))
+    print(json.dumps({"embedded": total, "batches": len(manifest["batches"]),
+                      "stats": embedder.stats.__dict__}))
+    return 0
+
+
+def _add_index(sub) -> None:
+    p = sub.add_parser("index", help="build the dense search index")
+    p.add_argument("--embeddings", required=True, help="embed output dir")
+    p.add_argument("--corpus", default=None, help="corpus dir (for category masks)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32", "int8"])
+
+
+def cmd_index(args) -> int:
+    import numpy as np
+
+    from arxiv_rag_tpu.index.store import build_index
+
+    src = Path(args.embeddings)
+    manifest = json.loads((src / "index.json").read_text())
+    parts = [np.load(src / b["file"]) for b in manifest["batches"]]
+    ids: list[str] = []
+    for i in range(len(manifest["batches"])):
+        ids.extend(json.loads((src / f"ids_{i:05d}.json").read_text()))
+    embs = np.concatenate(parts, axis=0) if parts else np.zeros((0, manifest["dim"]), np.float32)
+
+    categories = None
+    if args.corpus:
+        from arxiv_rag_tpu.store.corpus import CorpusReader
+
+        cat_of: dict[str, str] = {}
+        for batch in CorpusReader(args.corpus).iter_batches(columns=["chunk_id", "category"]):
+            for row in batch.to_pylist():
+                cat_of[row["chunk_id"]] = row["category"]
+        categories = [cat_of.get(cid, "") for cid in ids]
+
+    idx = build_index(embs, categories=categories, dtype=args.dtype)
+    idx.model = manifest.get("model", "")
+    idx.save(args.out)
+    (Path(args.out) / "chunk_ids.json").write_text(json.dumps(ids))
+    print(json.dumps({"rows": idx.num_rows, "dim": idx.dim, "dtype": idx.dtype,
+                      "categories": idx.categories}))
+    return 0
+
+
+def _add_search(sub) -> None:
+    p = sub.add_parser("search", help="query the index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--corpus", default=None)
+    p.add_argument("--query", action="append", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--categories", default=None, help="comma-separated cs.* filter")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--hybrid-alpha", type=float, default=None,
+                   help="dense/BM25 mix (reference config.yaml:66 uses 0.7)")
+
+
+def cmd_search(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.embed import Embedder
+    from arxiv_rag_tpu.index.store import DenseIndex
+    from arxiv_rag_tpu.models import ModelConfig, init_params
+    from arxiv_rag_tpu.models.convert import load_checkpoint
+    from arxiv_rag_tpu.search.engine import SearchEngine
+    from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+    idx = DenseIndex.load(args.index)
+    if args.checkpoint:
+        params, mcfg = load_checkpoint(args.checkpoint)
+        vocab_path = args.vocab or str(Path(args.checkpoint) / "vocab.txt")
+    else:
+        mcfg = ModelConfig()
+        params = init_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
+        vocab_path = args.vocab
+    tokenizer = (
+        WordPieceTokenizer.from_vocab_file(vocab_path)
+        if vocab_path and Path(vocab_path).exists()
+        else WordPieceTokenizer.toy()
+    )
+    embedder = Embedder(params, mcfg, tokenizer)
+
+    corpus = None
+    if args.corpus:
+        from arxiv_rag_tpu.store.corpus import CorpusReader
+
+        corpus = CorpusReader(args.corpus)
+    engine = SearchEngine(idx, embedder=embedder, corpus=corpus)
+    cats = args.categories.split(",") if args.categories else None
+    results = engine.search(args.query, k=args.k, categories=cats, hybrid_alpha=args.hybrid_alpha)
+    for qi, hits in enumerate(results):
+        print(f"query[{qi}]: {args.query[qi]}")
+        for h in hits:
+            line = f"  {h.score:.4f} row={h.row}"
+            if h.chunk_id:
+                line += f" {h.chunk_id} [{h.category}] {h.section}"
+            if h.text:
+                line += f" :: {h.text[:100]}"
+            print(line)
+    return 0
+
+
+def _add_bench(sub) -> None:
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.add_argument("--rows", type=int, default=None)
+
+
+def cmd_bench(args) -> int:
+    import os
+
+    if args.rows:
+        os.environ["ARAG_BENCH_ROWS"] = str(args.rows)
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+    import bench
+
+    bench.main()
+    return 0
+
+
+COMMANDS = {
+    "download": cmd_download,
+    "dedup": cmd_dedup,
+    "chunk": cmd_chunk,
+    "repair": cmd_repair,
+    "augment": cmd_augment,
+    "audit": cmd_audit,
+    "convert": cmd_convert,
+    "embed": cmd_embed,
+    "index": cmd_index,
+    "search": cmd_search,
+    "bench": cmd_bench,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="arag", description=__doc__.split("\n")[0])
+    sub = ap.add_subparsers(dest="command", required=True)
+    for adder in (_add_download, _add_dedup, _add_chunk, _add_repair, _add_augment,
+                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_bench):
+        adder(sub)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return COMMANDS[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,6 +95,17 @@ class WordPieceTokenizer:
                 vocab[line.rstrip("\n")] = i
         return cls(vocab, **kwargs)
 
+    @classmethod
+    def toy(cls, **kwargs) -> "WordPieceTokenizer":
+        """Character-level fallback vocab (specials + printable ASCII +
+        ## continuations). Every text tokenizes; for smoke runs and
+        random-init flows where no real vocab file is available."""
+        sp = SpecialTokens()
+        tokens = [sp.pad, sp.cls, sp.sep, sp.unk, sp.mask]
+        chars = [chr(c) for c in range(0x21, 0x7F)]
+        tokens += chars + [f"##{ch}" for ch in chars]
+        return cls({t: i for i, t in enumerate(tokens)}, **kwargs)
+
     # -- basic tokenization ---------------------------------------------------
 
     def _clean(self, text: str) -> str:

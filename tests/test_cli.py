@@ -1,0 +1,93 @@
+"""CLI end-to-end: chunk → audit → repair → embed(random) → index → search.
+
+Runs in-process via main(argv) — no subprocess, so the jax CPU-mesh
+conftest setup applies and compile caches are shared.
+"""
+
+import json
+
+import pytest
+
+from pdfgen import simple_text_pdf
+from arxiv_rag_tpu.cli.main import main
+
+TEXT = (
+    "A Study Of Retrieval Pipelines\n"
+    "Abstract\n"
+    "We evaluate retrieval systems for scientific corpora at scale. "
+    + " ".join(
+        f"Sentence {i} describes the dense retrieval encoder and its sharded index design."
+        for i in range(80)
+    )
+    + "\nReferences\n[1] A. Author. Paper. 2020.\n"
+)
+
+
+@pytest.fixture(scope="module")
+def pdf_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pdfs")
+    for i in range(3):
+        pid = f"2402.{20000+i}"
+        p = root / "cs.IR" / "2402" / f"{pid}.pdf"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        # unique text per paper so repair's exact-dedup keeps all three
+        text = TEXT.replace("Sentence", f"Paper{i} sentence")
+        p.write_bytes(simple_text_pdf([text[:1200], text[1200:]]))
+    return root
+
+
+def test_cli_full_chain(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "corpus"
+    assert main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus),
+                 "--workers", "0"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["ok"] == 3
+
+    assert main(["audit", "--corpus", str(corpus),
+                 "--json-out", str(tmp_path / "audit.json")]) == 0
+    out = capsys.readouterr().out
+    assert "papers: 3" in out
+    assert (tmp_path / "audit.json").exists()
+
+    repaired = tmp_path / "repaired"
+    assert main(["repair", "--corpus", str(corpus), "--out", str(repaired)]) == 0
+    capsys.readouterr()
+
+    payloads = tmp_path / "payloads.jsonl"
+    assert main(["augment", "--corpus", str(repaired), "--out", str(payloads)]) == 0
+    capsys.readouterr()
+    assert len(payloads.read_text().splitlines()) == 3
+
+    emb_dir = tmp_path / "emb"
+    assert main(["embed", "--corpus", str(repaired), "--out", str(emb_dir),
+                 "--random-init", "--batch-size", "8", "--min-quality", "0.0"]) == 0
+    emb_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert emb_stats["embedded"] > 0
+    assert (emb_dir / "index.json").exists()
+
+    idx_dir = tmp_path / "index"
+    assert main(["index", "--embeddings", str(emb_dir), "--corpus", str(repaired),
+                 "--out", str(idx_dir), "--dtype", "float32"]) == 0
+    idx_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert idx_stats["rows"] == emb_stats["embedded"]
+    assert idx_stats["categories"] == ["cs.IR"]
+
+    assert main(["search", "--index", str(idx_dir), "--corpus", str(repaired),
+                 "--query", "dense retrieval encoder", "--k", "3",
+                 "--random-init", "--categories", "cs.IR"]) == 0
+    out = capsys.readouterr().out
+    assert "query[0]" in out
+    assert "row=" in out
+
+
+def test_cli_dedup_and_download_parsing(tmp_path, capsys):
+    # dedup dry-run over duplicated layout
+    root = tmp_path / "pdfs"
+    for cat in ("cs.AI", "cs.LG"):
+        p = root / cat / "2402" / "2402.1.pdf"
+        p.parent.mkdir(parents=True)
+        p.write_bytes(b"%PDF-1.4 x")
+    assert main(["dedup", str(root)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["duplicate_papers"] == 1 and rep["dry_run"] is True
+    assert (root / "cs.LG" / "2402" / "2402.1.pdf").exists()
