@@ -53,6 +53,7 @@ class SearchEngine:
         corpus=None,
         cfg: RetrievalConfig = RetrievalConfig(),
         bm25: BM25Index | None = None,
+        reranker=None,
         use_pallas: bool | None = None,
     ) -> None:
         self.index = index
@@ -60,6 +61,7 @@ class SearchEngine:
         self.corpus = corpus
         self.cfg = cfg
         self.bm25 = bm25
+        self.reranker = reranker
         self.use_pallas = (
             use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
         )
@@ -177,11 +179,34 @@ class SearchEngine:
             query_embs = self.embedder.encode_texts(list(queries))
         if hybrid_alpha is None and self.bm25 is not None:
             hybrid_alpha = self.cfg.hybrid_alpha
+        rerank = self.reranker is not None
+        fetch_k = max(k, self.cfg.rerank_top_k) if rerank else k
         if hybrid_alpha is not None and self.bm25 is not None and hybrid_alpha < 1.0:
-            scores, rows = self._hybrid(queries, query_embs, k, categories, hybrid_alpha)
+            scores, rows = self._hybrid(queries, query_embs, fetch_k, categories, hybrid_alpha)
         else:
-            scores, rows = self.search_embeddings(query_embs, k, categories)
-        return [self._hydrate(scores[i], rows[i]) for i in range(len(queries))]
+            scores, rows = self.search_embeddings(query_embs, fetch_k, categories)
+        hydrated = [self._hydrate(scores[i], rows[i]) for i in range(len(queries))]
+        if rerank:
+            hydrated = [
+                self._rerank_one(q, hits, k) for q, hits in zip(queries, hydrated)
+            ]
+        return hydrated
+
+    def _rerank_one(self, query: str, hits: list[SearchResult], k: int) -> list[SearchResult]:
+        """Cross-encoder pass over the candidate texts
+        (``config.yaml:67-69`` rerank_top_k semantics)."""
+        scored = [h for h in hits if h.text]
+        if not scored:
+            return hits[:k]
+        with METRICS.timer("search.rerank"):
+            ce_scores, order = self.reranker.rerank(query, [h.text for h in scored], k)
+        out = []
+        for s, idx in zip(ce_scores.tolist(), order.tolist()):
+            h = scored[idx]
+            h.extras["dense_score"] = h.score
+            h.score = float(s)
+            out.append(h)
+        return out
 
     def _hybrid(self, queries, query_embs, k, categories, alpha):
         """Union of dense and BM25 candidates, min-max normalized, combined."""

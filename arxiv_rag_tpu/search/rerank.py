@@ -1,0 +1,117 @@
+"""Cross-encoder reranking stage.
+
+Implements the retrieval config the reference ships but never executes
+(``config.yaml:62-69``: rerank the top-50 dense candidates with
+ms-marco-MiniLM, return top-k). TPU-first shape discipline: candidate
+pairs are padded to fixed (batch, seq) buckets so reranking reuses one
+compiled forward per bucket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arxiv_rag_tpu.models.bert import BertConfig, BertParams, classify
+from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+
+@dataclass
+class RerankStats:
+    pairs: int = 0
+    batches: int = 0
+
+
+class CrossEncoderReranker:
+    """Scores (query, passage) pairs with a BERT cross-encoder.
+
+    BERT pair encoding: ``[CLS] query [SEP] passage [SEP]`` with
+    token_type 0 for the query segment (incl. both separators' CLS..SEP)
+    and 1 for the passage segment.
+    """
+
+    def __init__(
+        self,
+        params: BertParams,
+        cfg: BertConfig,
+        tokenizer: WordPieceTokenizer,
+        *,
+        max_seq_len: int = 512,
+        batch_size: int = 64,
+        compute_dtype: jnp.dtype = jnp.bfloat16,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.batch_size = batch_size
+        self.stats = RerankStats()
+        self._classify = jax.jit(
+            partial(classify, cfg=cfg, compute_dtype=compute_dtype)
+        )
+
+    def _encode_pair(self, query_ids: list[int], passage_ids: list[int]) -> tuple[list[int], list[int]]:
+        tk = self.tokenizer
+        # budget: CLS + query + SEP + passage + SEP
+        q = query_ids[: self.max_seq_len // 4]
+        room = self.max_seq_len - len(q) - 3
+        p = passage_ids[:room]
+        ids = [tk.cls_id] + q + [tk.sep_id] + p + [tk.sep_id]
+        types = [0] * (len(q) + 2) + [1] * (len(p) + 1)
+        return ids, types
+
+    def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
+        """Relevance logit per (query, passage) pair."""
+        if not pairs:
+            return np.zeros((0,), np.float32)
+        tk = self.tokenizer
+        def raw_ids(text: str) -> list[int]:
+            return [tk.vocab.get(t, tk.unk_id) for t in tk.tokenize(text)]
+
+        encoded = []
+        for q, p in pairs:
+            encoded.append(self._encode_pair(raw_ids(q), raw_ids(p)))
+        max_len = max(len(ids) for ids, _ in encoded)
+        # pad to a power-of-two-ish bucket for compile reuse
+        bucket = 64
+        while bucket < max_len:
+            bucket *= 2
+        bucket = min(bucket, self.max_seq_len)
+
+        out = np.zeros((len(pairs),), np.float32)
+        bs = self.batch_size
+        for start in range(0, len(encoded), bs):
+            batch = encoded[start : start + bs]
+            n = len(batch)
+            ids = np.full((bs, bucket), tk.pad_id, np.int32)
+            mask = np.zeros((bs, bucket), np.int32)
+            types = np.zeros((bs, bucket), np.int32)
+            for i, (tok_ids, tok_types) in enumerate(batch):
+                tok_ids = tok_ids[:bucket]
+                tok_types = tok_types[: len(tok_ids)]
+                ids[i, : len(tok_ids)] = tok_ids
+                mask[i, : len(tok_ids)] = 1
+                types[i, : len(tok_types)] = tok_types
+            logits = self._classify(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), token_type_ids=jnp.asarray(types)
+            )
+            out[start : start + n] = np.asarray(logits, np.float32)[:n, 0]
+            self.stats.batches += 1
+        self.stats.pairs += len(pairs)
+        return out
+
+    def rerank(
+        self,
+        query: str,
+        passages: Sequence[str],
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(scores, order) of the top-k passages for one query."""
+        scores = self.score_pairs([(query, p) for p in passages])
+        order = np.argsort(-scores)[:k]
+        return scores[order], order

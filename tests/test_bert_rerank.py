@@ -1,0 +1,162 @@
+"""BERT cross-encoder parity (golden vs torch) + reranker behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arxiv_rag_tpu.models.bert import (
+    BertConfig,
+    classify,
+    forward,
+    from_hf_state_dict,
+    init_params,
+)
+from arxiv_rag_tpu.search.rerank import CrossEncoderReranker
+from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+from _golden import get_npz
+
+SMALL = BertConfig(
+    vocab_size=120,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=64,
+    num_labels=1,
+)
+
+
+def _golden_case():
+    def generate():
+        import torch
+        from transformers import BertConfig as HFBertConfig
+        from transformers import BertForSequenceClassification
+
+        torch.manual_seed(7)
+        hf_cfg = HFBertConfig(
+            vocab_size=SMALL.vocab_size,
+            hidden_size=SMALL.hidden_size,
+            num_hidden_layers=SMALL.num_hidden_layers,
+            num_attention_heads=SMALL.num_attention_heads,
+            intermediate_size=SMALL.intermediate_size,
+            max_position_embeddings=SMALL.max_position_embeddings,
+            num_labels=1,
+            attention_probs_dropout_prob=0.0,
+            hidden_dropout_prob=0.0,
+        )
+        model = BertForSequenceClassification(hf_cfg).eval()
+        rng = np.random.default_rng(3)
+        ids = rng.integers(4, SMALL.vocab_size, (2, 12)).astype(np.int64)
+        ids[1, 9:] = 0
+        mask = np.ones_like(ids)
+        mask[1, 9:] = 0
+        types = np.zeros_like(ids)
+        types[:, 6:] = 1
+        with torch.no_grad():
+            logits = model(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+                token_type_ids=torch.tensor(types),
+            ).logits.numpy()
+            hidden = model.bert(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+                token_type_ids=torch.tensor(types),
+            ).last_hidden_state.numpy()
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        out = {"ids": ids, "mask": mask, "types": types, "logits": logits, "hidden": hidden}
+        out.update({f"sd::{k}": v for k, v in state.items()})
+        return out
+
+    return get_npz("bert_small", generate)
+
+
+def test_bert_forward_parity():
+    data = _golden_case()
+    state = {k[4:]: v for k, v in data.items() if k.startswith("sd::")}
+    params = from_hf_state_dict(state, SMALL)
+    ids = jnp.asarray(data["ids"], jnp.int32)
+    mask = jnp.asarray(data["mask"], jnp.int32)
+    types = jnp.asarray(data["types"], jnp.int32)
+    hidden = forward(params, ids, mask, SMALL, token_type_ids=types)
+    # compare only non-pad positions (HF computes garbage on pads too but
+    # attention masks them; values at pads are defined — compare all)
+    np.testing.assert_allclose(np.asarray(hidden), data["hidden"], atol=1e-4)
+    logits = classify(params, ids, mask, SMALL, token_type_ids=types)
+    np.testing.assert_allclose(np.asarray(logits), data["logits"], atol=1e-4)
+
+
+def test_bert_jit_and_scan_layers():
+    params = init_params(jax.random.PRNGKey(0), SMALL)
+    fn = jax.jit(lambda p, i, m: classify(p, i, m, SMALL))
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    out = fn(params, ids, mask)
+    assert out.shape == (2, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ------------------------------------------------------------------ reranker
+
+def _fake_reranker():
+    tok = WordPieceTokenizer.toy()
+    cfg = BertConfig(
+        vocab_size=len(tok.vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, max_position_embeddings=512,
+        pad_token_id=tok.pad_id,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    return CrossEncoderReranker(params, cfg, tok, batch_size=8, compute_dtype=jnp.float32)
+
+
+def test_reranker_shapes_and_determinism():
+    rr = _fake_reranker()
+    pairs = [("what is retrieval", f"passage number {i} about things") for i in range(5)]
+    s1 = rr.score_pairs(pairs)
+    s2 = rr.score_pairs(pairs)
+    assert s1.shape == (5,)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    scores, order = rr.rerank("what is retrieval", [p for _, p in pairs], k=3)
+    assert len(order) == 3
+    assert (np.diff(scores) <= 1e-9).all()  # descending
+
+
+def test_reranker_in_engine():
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(0)
+    embs = rng.standard_normal((50, 16), dtype=np.float32)
+    idx = build_index(embs, dtype="float32")
+
+    class FakeEmbedder:
+        def encode_texts(self, texts):
+            out = rng.standard_normal((len(texts), 16)).astype(np.float32)
+            return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    class FakeCorpus:
+        def read_all(self, columns=None):
+            import pyarrow as pa
+
+            n = 50
+            return pa.table(
+                {
+                    "chunk_id": [f"c{i}" for i in range(n)],
+                    "paper_id": [f"p{i//5}" for i in range(n)],
+                    "category": ["cs.LG"] * n,
+                    "section": ["body"] * n,
+                    "page": [1] * n,
+                    "text": [f"passage {i} text" for i in range(n)],
+                }
+            )
+
+    rr = _fake_reranker()
+    engine = SearchEngine(idx, embedder=FakeEmbedder(), corpus=FakeCorpus(), reranker=rr,
+                          use_pallas=False)
+    results = engine.search(["some query"], k=5)
+    assert len(results[0]) == 5
+    # rerank happened: dense score stashed in extras
+    assert all("dense_score" in r.extras for r in results[0])
