@@ -66,10 +66,14 @@ class Embedder:
         compute_dtype: jnp.dtype = jnp.bfloat16,
         normalize: bool = True,
         mesh=None,
+        native_tokenizer=None,
     ) -> None:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # optional C++ batch encoder (tokenize/native.py) — same contract,
+        # multithreaded; falls back to the Python path when None
+        self.native_tokenizer = native_tokenizer
         self.buckets = tuple(sorted(buckets))
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
@@ -109,8 +113,10 @@ class Embedder:
         """Tokenize and group rows by length bucket.
 
         Returns {bucket: (original positions, ids [n, bucket], mask)}."""
-        per_bucket: dict[int, list[tuple[int, list[int]]]] = {b: [] for b in self.buckets}
         max_b = self.buckets[-1]
+        if self.native_tokenizer is not None:
+            return self._tokenize_bucketed_native(texts, max_b)
+        per_bucket: dict[int, list[tuple[int, list[int]]]] = {b: [] for b in self.buckets}
         for pos, text in enumerate(texts):
             enc = self.tokenizer.encode(text, max_len=max_b)
             per_bucket[self._bucket_for(len(enc))].append((pos, enc))
@@ -127,6 +133,25 @@ class Embedder:
                 positions.append(pos)
                 self.stats.tokens += len(enc)
             out[bucket] = (positions, ids, mask)
+        return out
+
+    def _tokenize_bucketed_native(
+        self, texts: Sequence[str], max_b: int
+    ) -> dict[int, tuple[list[int], np.ndarray, np.ndarray]]:
+        """One multithreaded C++ pass at the max bucket, then regroup
+        rows into buckets by true length (column slice — no re-encode)."""
+        ids_full, mask_full = self.native_tokenizer.encode_batch(texts, max_len=max_b)
+        lengths = mask_full.sum(axis=1)
+        self.stats.tokens += int(lengths.sum())
+        out: dict[int, tuple[list[int], np.ndarray, np.ndarray]] = {}
+        row_bucket = np.empty(len(texts), np.int64)
+        for pos in range(len(texts)):
+            row_bucket[pos] = self._bucket_for(int(lengths[pos]))
+        for bucket in self.buckets:
+            rows = np.nonzero(row_bucket == bucket)[0]
+            if rows.size == 0:
+                continue
+            out[bucket] = (rows.tolist(), ids_full[rows, :bucket], mask_full[rows, :bucket])
         return out
 
     # -- device side -----------------------------------------------------
