@@ -6,20 +6,38 @@ top-k kernel over an HBM-resident bf16 index. ``vs_baseline`` is the
 speedup over the reference-equivalent CPU exact scan (numpy fp32 — the
 only search the reference corpus could support, and the recall oracle).
 
-Extra fields report recall@10 vs the oracle and encoder throughput
-(chunks/sec/chip on the full-size all-mpnet-base-v2 forward).
+Protocol notes (sized for a tunneled single chip + 1-core host):
+- the index is generated and normalized ON DEVICE (no multi-GB
+  host→device transfer distorting the measurement);
+- recall parity is checked against an on-device fp32 exact scan with
+  HIGHEST-precision matmul (bitwise-stable ranking reference), on top
+  of a host numpy cross-check over a row slice;
+- the CPU baseline is timed on ``ARAG_BENCH_CPU_ROWS`` rows and scaled
+  linearly to the full row count (a flat scan is bandwidth/flops-bound,
+  so QPS ∝ 1/rows; the scaling is reported, not hidden).
 
-Env knobs: ARAG_BENCH_ROWS (default 2_000_000), ARAG_BENCH_ORACLE_Q
-(queries used for the CPU oracle / baseline timing).
+Extra fields report recall@10 and encoder throughput (chunks/sec/chip
+on the full-size all-mpnet-base-v2 forward, bf16, batch 256×seq128).
+
+Env knobs: ARAG_BENCH_ROWS (default 2_000_000 on TPU), ARAG_BENCH_CPU_ROWS
+(default 200_000), ARAG_BENCH_SKIP_ENCODER=1.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
 
 
 def main() -> None:
@@ -32,28 +50,39 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     n_rows = int(os.environ.get("ARAG_BENCH_ROWS", 2_000_000 if on_tpu else 100_000))
+    cpu_rows = min(n_rows, int(os.environ.get("ARAG_BENCH_CPU_ROWS", 200_000)))
     dim, q_batch, k = 768, 32, 10
-    rng = np.random.default_rng(0)
+    log(f"backend={jax.default_backend()} rows={n_rows} cpu_rows={cpu_rows}")
 
-    # --- corpus + queries (host fp32 for the oracle, device bf16 index) ---
-    host_index = rng.standard_normal((n_rows, dim), dtype=np.float32)
-    host_index /= np.linalg.norm(host_index, axis=1, keepdims=True)
-    queries = rng.standard_normal((q_batch, dim), dtype=np.float32)
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    # --- corpus + queries generated on device --------------------------------
+    @jax.jit
+    def make_normal(key, shape_rows):
+        x = jax.random.normal(key, (shape_rows, dim), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x
 
-    index = jnp.asarray(host_index, jnp.bfloat16)
-    jq = jnp.asarray(queries)
+    key = jax.random.PRNGKey(0)
+    kq, ki = jax.random.split(key)
+    queries_dev = make_normal(kq, q_batch)
+    queries_dev.block_until_ready()
+    log("queries ready")
+
+    index_f32 = make_normal(ki, n_rows)
+    index_f32.block_until_ready()
+    log("index generated on device (fp32)")
+    index = index_f32.astype(jnp.bfloat16)
+    index.block_until_ready()
+    log("index cast to bf16")
 
     def run_search():
         if on_tpu:
-            return fused_topk(index, jq, k, block_rows=2048)
-        return flat_search(index, jq, k)
+            return fused_topk(index, queries_dev.astype(jnp.bfloat16), k, block_rows=2048)
+        return flat_search(index, queries_dev, k)
 
-    # compile + warm
     vals, ids = run_search()
     vals.block_until_ready()
+    log("search kernel compiled + warm")
 
-    # --- timed TPU search ---
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -61,31 +90,59 @@ def main() -> None:
     vals.block_until_ready()
     tpu_s = (time.perf_counter() - t0) / iters
     qps = q_batch / tpu_s
+    log(f"timed search: {tpu_s*1e3:.2f} ms/batch -> {qps:.1f} qps")
 
-    # --- recall parity vs CPU exact scan (also the baseline timing) ---
-    t0 = time.perf_counter()
-    ov, oi = cosine_topk_numpy(host_index, queries, k)
-    cpu_s = time.perf_counter() - t0
-    cpu_qps = q_batch / cpu_s
+    # --- recall oracle: on-device fp32 exact scan ----------------------------
+    ov_dev, oi_dev = jax.jit(
+        lambda idx, q: flat_search(idx, q, k)
+    )(index_f32, queries_dev)
+    ov, oi = np.asarray(ov_dev), np.asarray(oi_dev)
     recall = recall_at_k(
         np.asarray(ids), oi, ov, tie_tol=5e-3,
         candidate_scores=np.asarray(vals, np.float32),
     )
+    log(f"device fp32 oracle recall@{k} = {recall:.4f}")
 
-    # --- encoder throughput (full-size MPNet, bf16, batch 256 × seq 128) ---
-    cfg = ModelConfig()
-    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    enc_batch, seq = (256, 128) if on_tpu else (16, 64)
-    ids_in = jnp.asarray(rng.integers(4, cfg.vocab_size, (enc_batch, seq)), jnp.int32)
-    mask_in = jnp.ones((enc_batch, seq), jnp.int32)
-    enc_fn = jax.jit(lambda p, i, m: encode(p, i, m, cfg, compute_dtype=jnp.bfloat16))
-    enc_fn(params, ids_in, mask_in).block_until_ready()
-    enc_iters = 10 if on_tpu else 2
+    # --- CPU baseline: numpy exact scan on a measured slice ------------------
+    rng = np.random.default_rng(0)
+    host_slice = rng.standard_normal((cpu_rows, dim), dtype=np.float32)
+    host_slice /= np.linalg.norm(host_slice, axis=1, keepdims=True)
+    host_q = np.asarray(queries_dev, np.float32)
     t0 = time.perf_counter()
-    for _ in range(enc_iters):
-        out = enc_fn(params, ids_in, mask_in)
-    out.block_until_ready()
-    chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
+    hv, hi = cosine_topk_numpy(host_slice, host_q, k)
+    cpu_slice_s = time.perf_counter() - t0
+    cpu_qps = q_batch / (cpu_slice_s * (n_rows / cpu_rows))
+    log(f"cpu scan {cpu_rows} rows: {cpu_slice_s:.2f}s -> scaled {cpu_qps:.2f} qps @{n_rows}")
+
+    # host numpy cross-check of the device oracle on the same slice
+    sv_dev, si_dev = jax.jit(lambda idx, q: flat_search(idx, q, k))(
+        jnp.asarray(host_slice), jnp.asarray(host_q)
+    )
+    xcheck = recall_at_k(np.asarray(si_dev), hi, hv, tie_tol=5e-3,
+                         candidate_scores=np.asarray(sv_dev, np.float32))
+    log(f"host/device oracle cross-check recall = {xcheck:.4f}")
+
+    # --- encoder throughput ---------------------------------------------------
+    chunks_per_s = 0.0
+    if os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1":
+        cfg = ModelConfig()
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        enc_batch, seq = (256, 128) if on_tpu else (16, 64)
+        ids_in = jnp.asarray(
+            np.random.default_rng(1).integers(4, cfg.vocab_size, (enc_batch, seq)),
+            jnp.int32,
+        )
+        mask_in = jnp.ones((enc_batch, seq), jnp.int32)
+        enc_fn = jax.jit(lambda p, i, m: encode(p, i, m, cfg, compute_dtype=jnp.bfloat16))
+        enc_fn(params, ids_in, mask_in).block_until_ready()
+        log("encoder compiled")
+        enc_iters = 10 if on_tpu else 2
+        t0 = time.perf_counter()
+        for _ in range(enc_iters):
+            out = enc_fn(params, ids_in, mask_in)
+        out.block_until_ready()
+        chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
+        log(f"encoder: {chunks_per_s:.1f} chunks/s")
 
     print(
         json.dumps(
@@ -94,8 +151,9 @@ def main() -> None:
                 "value": round(qps, 2),
                 "unit": "qps",
                 "vs_baseline": round(qps / cpu_qps, 2),
-                "recall_at_10": round(recall, 4),
-                "cpu_exact_qps": round(cpu_qps, 2),
+                "recall_at_10": round(float(recall), 4),
+                "oracle_xcheck": round(float(xcheck), 4),
+                "cpu_exact_qps_scaled": round(cpu_qps, 3),
                 "embed_chunks_per_sec": round(chunks_per_s, 1),
                 "backend": jax.default_backend(),
             }
