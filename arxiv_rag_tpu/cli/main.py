@@ -112,6 +112,78 @@ def cmd_chunk(args) -> int:
     return 0 if stats["failed"] == 0 else 1
 
 
+def _add_extract(sub) -> None:
+    p = sub.add_parser("extract", help="extract PDFs to JSON (no chunking)")
+    p.add_argument("--pdfs", required=True)
+    p.add_argument("--out", required=True, help="output dir (mirrors layout)")
+    p.add_argument("--cache", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None, help="random sample seed")
+    p.add_argument("--improve", action="store_true", help="run the improver pass")
+    p.add_argument("--report", default=None, help="write run stats JSON here")
+
+
+def cmd_extract(args) -> int:
+    """Standalone extract-everything driver (reference:
+    save_extractions.py, extract_pdfs_to_disk.py). Writes one JSON per
+    paper + error/run ledgers; memory-aware batching."""
+    import random
+
+    from arxiv_rag_tpu.pipeline.extract import PDFExtractor, improve_pages
+    from arxiv_rag_tpu.utils import MemoryManager, ProgressReporter
+
+    root = Path(args.pdfs)
+    out_root = Path(args.out)
+    pdfs = sorted(p for p in root.rglob("*.pdf") if not p.name.startswith("._"))
+    if args.seed is not None:
+        random.Random(args.seed).shuffle(pdfs)
+    if args.limit:
+        pdfs = pdfs[: args.limit]
+
+    extractor = PDFExtractor(cache_dir=args.cache)
+    mm = MemoryManager()
+    reporter = ProgressReporter(len(pdfs), every=25, phase="extract")
+    stats = {"total": len(pdfs), "ok": 0, "failed": 0, "by_method": {}}
+    errors_path = out_root / "_extraction_errors.jsonl"
+    out_root.mkdir(parents=True, exist_ok=True)
+    with open(errors_path, "a") as errf:
+        for pdf in pdfs:
+            res = extractor.extract(pdf)
+            rel = pdf.relative_to(root).with_suffix(".json")
+            if res.success:
+                pages = res.pages
+                if args.improve:
+                    pages = improve_pages(pages).pages
+                dest = out_root / rel
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                dest.write_text(json.dumps({
+                    "paper_id": pdf.stem.replace("_", "/"),
+                    "text": "\n\n".join(pages),
+                    "pages": pages,
+                    "method_used": res.method_used,
+                    "quality_score": res.quality_score,
+                    "pdf_type": res.pdf_type,
+                    "metadata": res.metadata,
+                }))
+                stats["ok"] += 1
+                stats["by_method"][res.method_used] = (
+                    stats["by_method"].get(res.method_used, 0) + 1
+                )
+                reporter.update(1)
+            else:
+                errf.write(json.dumps({"pdf": str(pdf), "error": res.error}) + "\n")
+                stats["failed"] += 1
+                reporter.update(0, failed=1)
+            mm.maybe_gc()
+    state = reporter.finish()
+    stats["seconds"] = round(state.elapsed, 2)
+    stats["pdfs_per_sec"] = round(state.rate, 3)
+    if args.report:
+        Path(args.report).write_text(json.dumps(stats, indent=1))
+    print(json.dumps(stats))
+    return 0 if stats["failed"] == 0 else 1
+
+
 def _add_repair(sub) -> None:
     p = sub.add_parser("repair", help="enforce the chunk contract (split/drop/clean)")
     p.add_argument("--corpus", required=True)
@@ -263,19 +335,28 @@ def cmd_embed(args) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest = {"batches": [], "dim": mcfg.hidden_size, "model": args.checkpoint or "random-init"}
     total = 0
+    resumed = 0
     for i, batch in enumerate(
         reader.iter_batches(batch_size=8192, columns=["chunk_id", "text"], min_quality=args.min_quality)
     ):
         texts = batch.column("text").to_pylist()
         ids = batch.column("chunk_id").to_pylist()
-        embs = embedder.encode_texts(texts)
-        np.save(out_dir / f"embeddings_{i:05d}.npy", embs)
-        (out_dir / f"ids_{i:05d}.json").write_text(json.dumps(ids))
-        manifest["batches"].append({"file": f"embeddings_{i:05d}.npy", "rows": len(ids)})
+        emb_path = out_dir / f"embeddings_{i:05d}.npy"
+        ids_path = out_dir / f"ids_{i:05d}.json"
+        # resume: batch files are the checkpoint unit (the reference's
+        # batch-numbered .npy + manifest scheme, save_embeddings_to_disk.py:31-80)
+        if emb_path.exists() and ids_path.exists() and json.loads(ids_path.read_text()) == ids:
+            resumed += 1
+        else:
+            embs = embedder.encode_texts(texts)
+            np.save(emb_path, embs)
+            ids_path.write_text(json.dumps(ids))
+        manifest["batches"].append({"file": emb_path.name, "rows": len(ids)})
         total += len(ids)
     manifest["total_rows"] = total
     (out_dir / "index.json").write_text(json.dumps(manifest, indent=1))
-    print(json.dumps({"embedded": total, "batches": len(manifest["batches"]),
+    print(json.dumps({"embedded": total, "resumed_batches": resumed,
+                      "batches": len(manifest["batches"]),
                       "stats": embedder.stats.__dict__}))
     return 0
 
@@ -400,6 +481,7 @@ def cmd_bench(args) -> int:
 COMMANDS = {
     "download": cmd_download,
     "dedup": cmd_dedup,
+    "extract": cmd_extract,
     "chunk": cmd_chunk,
     "repair": cmd_repair,
     "augment": cmd_augment,
@@ -415,7 +497,7 @@ COMMANDS = {
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="arag", description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="command", required=True)
-    for adder in (_add_download, _add_dedup, _add_chunk, _add_repair, _add_augment,
+    for adder in (_add_download, _add_dedup, _add_extract, _add_chunk, _add_repair, _add_augment,
                   _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_bench):
         adder(sub)
     return ap

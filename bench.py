@@ -42,6 +42,11 @@ T0 = time.perf_counter()
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: tunneled-TPU compiles cost minutes;
+    # amortize across bench runs/rounds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/arag_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from arxiv_rag_tpu.models import ModelConfig, encode, init_params
@@ -55,7 +60,9 @@ def main() -> None:
     log(f"backend={jax.default_backend()} rows={n_rows} cpu_rows={cpu_rows}")
 
     # --- corpus + queries generated on device --------------------------------
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
     def make_normal(key, shape_rows):
         x = jax.random.normal(key, (shape_rows, dim), jnp.float32)
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
@@ -83,14 +90,24 @@ def main() -> None:
     vals.block_until_ready()
     log("search kernel compiled + warm")
 
+    # timing: per-iteration sync (no pipelining flattery) AND pipelined
     iters = 20 if on_tpu else 3
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        vals, ids = run_search()
+        vals.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    tpu_s = sorted(lat)[len(lat) // 2]  # median synced latency
+    qps = q_batch / tpu_s
+    gbps = n_rows * dim * (2 if on_tpu else 4) / tpu_s / 1e9
+    log(f"timed search (synced): {tpu_s*1e3:.2f} ms/batch -> {qps:.1f} qps, {gbps:.0f} GB/s index stream")
     t0 = time.perf_counter()
     for _ in range(iters):
         vals, ids = run_search()
     vals.block_until_ready()
-    tpu_s = (time.perf_counter() - t0) / iters
-    qps = q_batch / tpu_s
-    log(f"timed search: {tpu_s*1e3:.2f} ms/batch -> {qps:.1f} qps")
+    piped = (time.perf_counter() - t0) / iters
+    log(f"timed search (pipelined): {piped*1e3:.2f} ms/batch")
 
     # --- recall oracle: on-device fp32 exact scan ----------------------------
     ov_dev, oi_dev = jax.jit(

@@ -91,3 +91,16 @@ def test_cli_dedup_and_download_parsing(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["duplicate_papers"] == 1 and rep["dry_run"] is True
     assert (root / "cs.LG" / "2402" / "2402.1.pdf").exists()
+
+
+def test_cli_extract_standalone(pdf_root, tmp_path, capsys):
+    out = tmp_path / "extracted"
+    assert main(["extract", "--pdfs", str(pdf_root), "--out", str(out),
+                 "--improve", "--report", str(tmp_path / "rep.json")]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["ok"] == 3 and stats["failed"] == 0
+    jsons = list(out.rglob("*.json"))
+    assert len(jsons) == 3
+    rec = json.loads(jsons[0].read_text())
+    assert rec["quality_score"] > 0.2 and rec["pages"]
+    assert (tmp_path / "rep.json").exists()
