@@ -348,7 +348,27 @@ def cmd_embed(args) -> int:
         if emb_path.exists() and ids_path.exists() and json.loads(ids_path.read_text()) == ids:
             resumed += 1
         else:
-            embs = embedder.encode_texts(texts)
+            # failure ladder: batch → per-item → exclusion ledger. The
+            # reference falls back to ZERO VECTORS that silently poison
+            # the index (generate_embeddings_parallel.py:167-169); here
+            # failing items are excluded and ledgered instead.
+            try:
+                embs = embedder.encode_texts(texts)
+            except Exception as batch_exc:  # noqa: BLE001 — ladder, not silence
+                good_embs, good_ids = [], []
+                with open(out_dir / "_excluded.jsonl", "a") as exf:
+                    for cid, text in zip(ids, texts):
+                        try:
+                            good_embs.append(embedder.encode_texts([text])[0])
+                            good_ids.append(cid)
+                        except Exception as item_exc:  # noqa: BLE001
+                            exf.write(json.dumps({
+                                "chunk_id": cid,
+                                "error": f"{type(item_exc).__name__}: {item_exc}",
+                                "batch_error": f"{type(batch_exc).__name__}",
+                            }) + "\n")
+                embs = np.stack(good_embs) if good_embs else np.zeros((0, mcfg.hidden_size), np.float32)
+                ids = good_ids
             np.save(emb_path, embs)
             ids_path.write_text(json.dumps(ids))
         manifest["batches"].append({"file": emb_path.name, "rows": len(ids)})
@@ -464,6 +484,8 @@ def cmd_search(args) -> int:
 def _add_bench(sub) -> None:
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.add_argument("--rows", type=int, default=None)
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace (TensorBoard format) here")
 
 
 def cmd_bench(args) -> int:
@@ -474,7 +496,13 @@ def cmd_bench(args) -> int:
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     import bench
 
-    bench.main()
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            bench.main()
+    else:
+        bench.main()
     return 0
 
 
