@@ -181,6 +181,24 @@ def classify(
     )
 
 
+def encode_sentences(
+    params: BertParams,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    cfg: BertConfig,
+    compute_dtype: jnp.dtype = jnp.float32,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Mean-pooled L2-normalized sentence embeddings — the
+    all-MiniLM-L6-v2 role (the reference's semantic-chunking encoder,
+    ``text_processor.py:885``; MiniLM is this BERT architecture at
+    hidden=384/layers=6 with sentence-transformers pooling)."""
+    from .mpnet import mean_pool
+
+    hidden = forward(params, input_ids, attention_mask, cfg, None, compute_dtype)
+    return mean_pool(hidden, attention_mask, normalize)
+
+
 # ---------------------------------------------------------------------------
 # HF weight conversion
 # ---------------------------------------------------------------------------
@@ -206,6 +224,15 @@ def from_hf_state_dict(state: dict, cfg: BertConfig, dtype=jnp.float32) -> BertP
     def layer_norm(prefix):
         return {"scale": arr(f"{prefix}.weight"), "bias": arr(f"{prefix}.bias")}
 
+    def dense_or_zero(prefix, d_in, d_out):
+        """Sentence-encoder checkpoints (MiniLM) ship no classifier and
+        sometimes no pooler; zero-init keeps the pytree shape stable."""
+        if f"{prefix}.weight" in sd:
+            return dense(prefix)
+        return {"kernel": jnp.zeros((d_in, d_out), dtype),
+                "bias": jnp.zeros((d_out,), dtype)}
+
+    h = cfg.hidden_size
     params: BertParams = {
         "embeddings": {
             "word": arr("embeddings.word_embeddings.weight"),
@@ -213,8 +240,8 @@ def from_hf_state_dict(state: dict, cfg: BertConfig, dtype=jnp.float32) -> BertP
             "token_type": arr("embeddings.token_type_embeddings.weight"),
             "ln": layer_norm("embeddings.LayerNorm"),
         },
-        "pooler": dense("pooler.dense"),
-        "classifier": dense("classifier"),
+        "pooler": dense_or_zero("pooler.dense", h, h),
+        "classifier": dense_or_zero("classifier", h, cfg.num_labels),
         "layers": [],
     }
     for i in range(cfg.num_hidden_layers):

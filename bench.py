@@ -87,27 +87,52 @@ def main() -> None:
         return flat_search(index, queries_dev, k)
 
     vals, ids = run_search()
-    vals.block_until_ready()
+    _ = np.asarray(vals)
     log("search kernel compiled + warm")
 
-    # timing: per-iteration sync (no pipelining flattery) AND pipelined
-    iters = 20 if on_tpu else 3
+    # timing: result FETCH per iteration. block_until_ready through the
+    # remote-device tunnel returns before execution completes (measured:
+    # a 3 GB reduction "finishing" at 40 TB/s); fetching the (tiny)
+    # result array forces a true roundtrip and is the only honest clock
+    # in this environment.
+    iters = 10 if on_tpu else 3
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
         vals, ids = run_search()
-        vals.block_until_ready()
+        _ = np.asarray(vals)
         lat.append(time.perf_counter() - t0)
-    tpu_s = sorted(lat)[len(lat) // 2]  # median synced latency
+    tpu_s = sorted(lat)[len(lat) // 2]  # median fetched latency
     qps = q_batch / tpu_s
     gbps = n_rows * dim * (2 if on_tpu else 4) / tpu_s / 1e9
-    log(f"timed search (synced): {tpu_s*1e3:.2f} ms/batch -> {qps:.1f} qps, {gbps:.0f} GB/s index stream")
+    log(f"timed search (fetched): {tpu_s*1e3:.2f} ms/batch -> {qps:.1f} qps, {gbps:.0f} GB/s index stream")
+    # achievable-bandwidth reference: a pure 1-pass reduction of the index
+    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    _ = np.asarray(red(index))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        vals, ids = run_search()
-    vals.block_until_ready()
-    piped = (time.perf_counter() - t0) / iters
-    log(f"timed search (pipelined): {piped*1e3:.2f} ms/batch")
+    _ = np.asarray(red(index))
+    sol_gbps = n_rows * dim * (2 if on_tpu else 4) / (time.perf_counter() - t0) / 1e9
+    log(f"pure-read reference: {sol_gbps:.0f} GB/s -> kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of speed-of-light")
+
+    # --- int8 index variant (BASELINE configs[4]): half the bytes ------------
+    int8_qps = 0.0
+    int8_recall = 0.0
+    if on_tpu:
+        from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8
+        from arxiv_rag_tpu.ops.quant import quantize_int8
+
+        i8_vals, i8_scales = quantize_int8(index_f32)
+        iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=2048)
+        _ = np.asarray(iv)
+        lat8 = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=2048)
+            _ = np.asarray(iv)
+            lat8.append(time.perf_counter() - t0)
+        int8_s = sorted(lat8)[len(lat8) // 2]
+        int8_qps = q_batch / int8_s
+        log(f"int8 search (fetched): {int8_s*1e3:.2f} ms/batch -> {int8_qps:.1f} qps")
 
     # --- recall oracle: on-device fp32 exact scan ----------------------------
     ov_dev, oi_dev = jax.jit(
@@ -119,6 +144,12 @@ def main() -> None:
         candidate_scores=np.asarray(vals, np.float32),
     )
     log(f"device fp32 oracle recall@{k} = {recall:.4f}")
+    if on_tpu and int8_qps:
+        int8_recall = recall_at_k(
+            np.asarray(ii), oi, ov, tie_tol=2e-2,
+            candidate_scores=np.asarray(iv, np.float32),
+        )
+        log(f"int8 recall@{k} = {int8_recall:.4f}")
 
     # --- CPU baseline: numpy exact scan on a measured slice ------------------
     rng = np.random.default_rng(0)
@@ -151,13 +182,13 @@ def main() -> None:
         )
         mask_in = jnp.ones((enc_batch, seq), jnp.int32)
         enc_fn = jax.jit(lambda p, i, m: encode(p, i, m, cfg, compute_dtype=jnp.bfloat16))
-        enc_fn(params, ids_in, mask_in).block_until_ready()
+        _ = np.asarray(enc_fn(params, ids_in, mask_in))
         log("encoder compiled")
-        enc_iters = 10 if on_tpu else 2
+        enc_iters = 5 if on_tpu else 2
         t0 = time.perf_counter()
         for _ in range(enc_iters):
             out = enc_fn(params, ids_in, mask_in)
-        out.block_until_ready()
+            _ = np.asarray(out)  # honest sync (see note above)
         chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
         log(f"encoder: {chunks_per_s:.1f} chunks/s")
 
@@ -170,6 +201,8 @@ def main() -> None:
                 "vs_baseline": round(qps / cpu_qps, 2),
                 "recall_at_10": round(float(recall), 4),
                 "oracle_xcheck": round(float(xcheck), 4),
+                "int8_qps": round(int8_qps, 2),
+                "int8_recall_at_10": round(float(int8_recall), 4),
                 "cpu_exact_qps_scaled": round(cpu_qps, 3),
                 "embed_chunks_per_sec": round(chunks_per_s, 1),
                 "backend": jax.default_backend(),

@@ -160,3 +160,44 @@ def test_reranker_in_engine():
     assert len(results[0]) == 5
     # rerank happened: dense score stashed in extras
     assert all("dense_score" in r.extras for r in results[0])
+
+
+def test_minilm_sentence_encoding_parity():
+    """encode_sentences == torch BertModel + mean pooling (golden)."""
+    from arxiv_rag_tpu.models.bert import encode_sentences
+
+    def generate():
+        import torch
+        from transformers import BertConfig as HFBertConfig, BertModel
+
+        torch.manual_seed(11)
+        hf_cfg = HFBertConfig(
+            vocab_size=SMALL.vocab_size, hidden_size=SMALL.hidden_size,
+            num_hidden_layers=SMALL.num_hidden_layers,
+            num_attention_heads=SMALL.num_attention_heads,
+            intermediate_size=SMALL.intermediate_size,
+            max_position_embeddings=SMALL.max_position_embeddings,
+            attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        )
+        model = BertModel(hf_cfg).eval()
+        rng = np.random.default_rng(5)
+        ids = rng.integers(4, SMALL.vocab_size, (2, 10)).astype(np.int64)
+        mask = np.ones_like(ids)
+        mask[1, 7:] = 0
+        with torch.no_grad():
+            hid = model(torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state
+            m = torch.tensor(mask).unsqueeze(-1).float()
+            pooled = (hid * m).sum(1) / m.sum(1)
+            pooled = torch.nn.functional.normalize(pooled, dim=-1)
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        out = {"ids": ids, "mask": mask, "pooled": pooled.numpy()}
+        out.update({f"sd::{k}": v for k, v in state.items()})
+        return out
+
+    data = get_npz("minilm_small", generate)
+    state = {k[4:]: v for k, v in data.items() if k.startswith("sd::")}
+    params = from_hf_state_dict(state, SMALL)
+    emb = encode_sentences(
+        params, jnp.asarray(data["ids"], jnp.int32), jnp.asarray(data["mask"], jnp.int32), SMALL
+    )
+    np.testing.assert_allclose(np.asarray(emb), data["pooled"], atol=1e-4)
