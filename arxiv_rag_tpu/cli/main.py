@@ -432,7 +432,12 @@ def _add_search(sub) -> None:
     p.add_argument("--vocab", default=None)
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--hybrid-alpha", type=float, default=None,
-                   help="dense/BM25 mix (reference config.yaml:66 uses 0.7)")
+                   help="dense/BM25 mix (reference config.yaml:66 uses 0.7); "
+                        "builds a BM25 index over the corpus texts")
+    p.add_argument("--rerank-checkpoint", default=None,
+                   help="BERT cross-encoder checkpoint dir; enables reranking")
+    p.add_argument("--rerank-random-init", action="store_true",
+                   help="random cross-encoder (smoke runs)")
 
 
 def cmd_search(args) -> int:
@@ -466,7 +471,46 @@ def cmd_search(args) -> int:
         from arxiv_rag_tpu.store.corpus import CorpusReader
 
         corpus = CorpusReader(args.corpus)
-    engine = SearchEngine(idx, embedder=embedder, corpus=corpus)
+
+    bm25 = None
+    if args.hybrid_alpha is not None:
+        if corpus is None:
+            print("--hybrid-alpha needs --corpus (BM25 is built over its texts)",
+                  file=sys.stderr)
+            return 2
+        from arxiv_rag_tpu.search.bm25 import BM25Index
+
+        bm25 = BM25Index.build(corpus.texts())
+
+    reranker = None
+    if args.rerank_checkpoint or args.rerank_random_init:
+        from arxiv_rag_tpu.models.bert import BertConfig, init_params as bert_init
+        from arxiv_rag_tpu.search.rerank import CrossEncoderReranker
+
+        if args.rerank_checkpoint:
+            import numpy as _np
+
+            ck = Path(args.rerank_checkpoint)
+            bcfg_d = json.loads((ck / "config.json").read_text())
+            bcfg = BertConfig(**{k: v for k, v in bcfg_d.items()
+                                 if k in BertConfig.__dataclass_fields__})
+            from arxiv_rag_tpu.models.bert import from_hf_state_dict
+
+            with _np.load(ck / "state.npz") as z:
+                state = {k: z[k] for k in z.files}
+            bparams = from_hf_state_dict(state, bcfg)
+            btok = WordPieceTokenizer.from_vocab_file(ck / "vocab.txt")
+        else:
+            btok = tokenizer
+            bcfg = BertConfig(vocab_size=max(tokenizer.vocab.values()) + 1,
+                              hidden_size=64, num_hidden_layers=2,
+                              num_attention_heads=4, intermediate_size=128,
+                              pad_token_id=tokenizer.pad_id)
+            bparams = bert_init(jax.random.PRNGKey(2), bcfg)
+        reranker = CrossEncoderReranker(bparams, bcfg, btok)
+
+    engine = SearchEngine(idx, embedder=embedder, corpus=corpus, bm25=bm25,
+                          reranker=reranker)
     cats = args.categories.split(",") if args.categories else None
     results = engine.search(args.query, k=args.k, categories=cats, hybrid_alpha=args.hybrid_alpha)
     for qi, hits in enumerate(results):

@@ -218,7 +218,9 @@ class SearchEngine:
             with METRICS.timer("search.bm25"):
                 bvals, brows = self.bm25.topk(query, c)
             cand: dict[int, list[float]] = {}
-            dmask = drows[qi] >= 0
+            # padded/masked rows surface as -inf scores: drop before
+            # min-max normalization (an -inf lo makes every score NaN)
+            dmask = (drows[qi] >= 0) & np.isfinite(dvals[qi])
             dv, dr = dvals[qi][dmask], drows[qi][dmask]
 
             def norm(v):

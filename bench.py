@@ -114,14 +114,36 @@ def main() -> None:
     sol_gbps = n_rows * dim * (2 if on_tpu else 4) / (time.perf_counter() - t0) / 1e9
     log(f"pure-read reference: {sol_gbps:.0f} GB/s -> kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of speed-of-light")
 
-    # --- int8 index variant (BASELINE configs[4]): half the bytes ------------
+    # --- recall oracle: on-device fp32 exact scan ----------------------------
+    ov_dev, oi_dev = jax.jit(
+        lambda idx, q: flat_search(idx, q, k)
+    )(index_f32, queries_dev)
+    ov, oi = np.asarray(ov_dev), np.asarray(oi_dev)
+    recall = recall_at_k(
+        np.asarray(ids), oi, ov, tie_tol=5e-3,
+        candidate_scores=np.asarray(vals, np.float32),
+    )
+    log(f"device fp32 oracle recall@{k} = {recall:.4f}")
+
+    # --- int8 index variant (BASELINE configs[4]): half the bytes -------------
+    # quantize in row slices (a whole-matrix quantize temporarily doubles
+    # the fp32 footprint -> HBM OOM next to the bf16 copy), then free fp32
     int8_qps = 0.0
     int8_recall = 0.0
     if on_tpu:
         from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8
         from arxiv_rag_tpu.ops.quant import quantize_int8
 
-        i8_vals, i8_scales = quantize_int8(index_f32)
+        slices_v, slices_s = [], []
+        step = max(1, n_rows // 8)
+        for s in range(0, n_rows, step):
+            v, sc = quantize_int8(index_f32[s : s + step])
+            slices_v.append(v)
+            slices_s.append(sc)
+        i8_vals = jnp.concatenate(slices_v, axis=0)
+        i8_scales = jnp.concatenate(slices_s, axis=0)
+        del slices_v, slices_s
+        index_f32.delete()  # fp32 no longer needed; free 4 bytes/elt of HBM
         iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=2048)
         _ = np.asarray(iv)
         lat8 = []
@@ -133,18 +155,6 @@ def main() -> None:
         int8_s = sorted(lat8)[len(lat8) // 2]
         int8_qps = q_batch / int8_s
         log(f"int8 search (fetched): {int8_s*1e3:.2f} ms/batch -> {int8_qps:.1f} qps")
-
-    # --- recall oracle: on-device fp32 exact scan ----------------------------
-    ov_dev, oi_dev = jax.jit(
-        lambda idx, q: flat_search(idx, q, k)
-    )(index_f32, queries_dev)
-    ov, oi = np.asarray(ov_dev), np.asarray(oi_dev)
-    recall = recall_at_k(
-        np.asarray(ids), oi, ov, tie_tol=5e-3,
-        candidate_scores=np.asarray(vals, np.float32),
-    )
-    log(f"device fp32 oracle recall@{k} = {recall:.4f}")
-    if on_tpu and int8_qps:
         int8_recall = recall_at_k(
             np.asarray(ii), oi, ov, tie_tol=2e-2,
             candidate_scores=np.asarray(iv, np.float32),

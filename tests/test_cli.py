@@ -104,3 +104,20 @@ def test_cli_extract_standalone(pdf_root, tmp_path, capsys):
     rec = json.loads(jsons[0].read_text())
     assert rec["quality_score"] > 0.2 and rec["pages"]
     assert (tmp_path / "rep.json").exists()
+
+
+def test_cli_search_hybrid_and_rerank(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "c2"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    emb = tmp_path / "e2"
+    main(["embed", "--corpus", str(corpus), "--out", str(emb),
+          "--random-init", "--batch-size", "8", "--min-quality", "0.0"])
+    idx = tmp_path / "i2"
+    main(["index", "--embeddings", str(emb), "--corpus", str(corpus),
+          "--out", str(idx), "--dtype", "float32"])
+    capsys.readouterr()
+    assert main(["search", "--index", str(idx), "--corpus", str(corpus),
+                 "--query", "retrieval encoder", "--k", "3", "--random-init",
+                 "--hybrid-alpha", "0.7", "--rerank-random-init"]) == 0
+    out = capsys.readouterr().out
+    assert "query[0]" in out and "row=" in out
