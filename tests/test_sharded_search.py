@@ -68,3 +68,19 @@ def test_bf16_sharded_recall(data):
         candidate_scores=np.asarray(vals, np.float32),
     )
     assert r >= 0.99
+
+
+def test_distributed_helpers_single_process():
+    from arxiv_rag_tpu.parallel.distributed import (
+        global_mesh,
+        host_shard,
+        init_distributed,
+        is_primary,
+    )
+
+    assert init_distributed() is False  # no coordinator in tests
+    assert is_primary()
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    items = list(range(10))
+    assert host_shard(items) == items  # single process owns everything
