@@ -120,6 +120,7 @@ def _add_extract(sub) -> None:
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--seed", type=int, default=None, help="random sample seed")
     p.add_argument("--improve", action="store_true", help="run the improver pass")
+    p.add_argument("--tables", action="store_true", help="geometric table extraction")
     p.add_argument("--report", default=None, help="write run stats JSON here")
 
 
@@ -130,6 +131,7 @@ def cmd_extract(args) -> int:
     import random
 
     from arxiv_rag_tpu.pipeline.extract import PDFExtractor, improve_pages
+    from arxiv_rag_tpu.pipeline.extract.extractor import extract_tables_bytes
     from arxiv_rag_tpu.utils import MemoryManager, ProgressReporter
 
     root = Path(args.pdfs)
@@ -156,8 +158,10 @@ def cmd_extract(args) -> int:
                     pages = improve_pages(pages).pages
                 dest = out_root / rel
                 dest.parent.mkdir(parents=True, exist_ok=True)
+                tables = extract_tables_bytes(pdf.read_bytes()) if args.tables else []
                 dest.write_text(json.dumps({
                     "paper_id": pdf.stem.replace("_", "/"),
+                    "tables": tables,
                     "text": "\n\n".join(pages),
                     "pages": pages,
                     "method_used": res.method_used,

@@ -6,7 +6,7 @@ Replaces the reference's 9k-line multi-library extractor
 with score-threshold early exit, and an improvement pass.
 """
 
-from .extractor import ExtractionResult, PDFExtractor
+from .extractor import ExtractionResult, PDFExtractor, extract_tables_bytes
 from .improve import ImproveResult, improve_extraction, improve_pages
 from .pdfcore import Document, PDFEncryptedError, PDFError, open_pdf
 from .pdftext import extract_page_text, extract_text
@@ -15,6 +15,7 @@ from .quality import QualityReport, ValidationResult, score_text, validate_extra
 __all__ = [
     "Document",
     "ExtractionResult",
+    "extract_tables_bytes",
     "ImproveResult",
     "PDFEncryptedError",
     "PDFError",

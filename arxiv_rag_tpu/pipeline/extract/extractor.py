@@ -109,6 +109,37 @@ def _strategy_simple(doc: pdfcore.Document) -> list[str]:
     return pages
 
 
+def extract_tables_bytes(buf: bytes, max_pages: int | None = None) -> list[dict]:
+    """Geometric table extraction (tables.py) over a whole document.
+    Returns JSON-ready dicts (reference table path:
+    ``pdf_extractor.py:912-1578`` via pdfplumber heuristics)."""
+    from .tables import detect_tables
+
+    doc = pdfcore.open_pdf(buf)
+    out: list[dict] = []
+    for pageno, page in enumerate(doc.pages()[:max_pages], start=1):
+        contents = doc.resolve(page.get("Contents"))
+        datas: list[bytes] = []
+        if isinstance(contents, pdfcore.Stream):
+            datas.append(contents.data())
+        elif isinstance(contents, list):
+            for c in contents:
+                c = doc.resolve(c)
+                if isinstance(c, pdfcore.Stream):
+                    datas.append(c.data())
+        if not datas:
+            continue
+        spans: list[pdftext.Span] = []
+        interp = pdftext.ContentInterpreter(doc, doc.resolve(page.get("Resources")) or {}, spans)
+        try:
+            interp.run(b"\n".join(datas))
+        except pdfcore.PDFError:
+            continue
+        for t in detect_tables(spans, page=pageno):
+            out.append({"page": t.page, "n_cols": t.n_cols, "rows": t.rows})
+    return out
+
+
 def _external_strategies() -> list[tuple[str, Callable[[bytes], list[str]]]]:
     """Optional third-party extractors, if the image happens to have them."""
     out: list[tuple[str, Callable[[bytes], list[str]]]] = []

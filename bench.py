@@ -130,7 +130,16 @@ def main() -> None:
     # the fp32 footprint -> HBM OOM next to the bf16 copy), then free fp32
     int8_qps = 0.0
     int8_recall = 0.0
-    if on_tpu:
+    deadline = float(os.environ.get("ARAG_BENCH_DEADLINE", 460.0))
+
+    def past_deadline(phase: str) -> bool:
+        if time.perf_counter() - T0 > deadline:
+            log(f"soft deadline ({deadline:.0f}s) hit; skipping {phase} "
+                "(remote compiles on the shared pool vary 2-10 min)")
+            return True
+        return False
+
+    if on_tpu and not past_deadline("int8 variant"):
         from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8
         from arxiv_rag_tpu.ops.quant import quantize_int8
 
@@ -173,16 +182,18 @@ def main() -> None:
     log(f"cpu scan {cpu_rows} rows: {cpu_slice_s:.2f}s -> scaled {cpu_qps:.2f} qps @{n_rows}")
 
     # host numpy cross-check of the device oracle on the same slice
-    sv_dev, si_dev = jax.jit(lambda idx, q: flat_search(idx, q, k))(
-        jnp.asarray(host_slice), jnp.asarray(host_q)
-    )
-    xcheck = recall_at_k(np.asarray(si_dev), hi, hv, tie_tol=5e-3,
-                         candidate_scores=np.asarray(sv_dev, np.float32))
-    log(f"host/device oracle cross-check recall = {xcheck:.4f}")
+    xcheck = -1.0
+    if not past_deadline("host/device oracle cross-check"):
+        sv_dev, si_dev = jax.jit(lambda idx, q: flat_search(idx, q, k))(
+            jnp.asarray(host_slice), jnp.asarray(host_q)
+        )
+        xcheck = recall_at_k(np.asarray(si_dev), hi, hv, tie_tol=5e-3,
+                             candidate_scores=np.asarray(sv_dev, np.float32))
+        log(f"host/device oracle cross-check recall = {xcheck:.4f}")
 
     # --- encoder throughput ---------------------------------------------------
     chunks_per_s = 0.0
-    if os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1":
+    if os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1" and not past_deadline("encoder"):
         cfg = ModelConfig()
         params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
         enc_batch, seq = (256, 128) if on_tpu else (16, 64)
