@@ -444,7 +444,13 @@ def _add_search(sub) -> None:
                    help="random cross-encoder (smoke runs)")
 
 
-def cmd_search(args) -> int:
+def _build_engine(args):
+    # serve's parser omits some search-only flags; default them here
+    for _attr in ("hybrid_alpha", "rerank_checkpoint"):
+        if not hasattr(args, _attr):
+            setattr(args, _attr, None)
+    if not hasattr(args, "rerank_random_init"):
+        args.rerank_random_init = False
     import jax
     import jax.numpy as jnp
 
@@ -513,8 +519,12 @@ def cmd_search(args) -> int:
             bparams = bert_init(jax.random.PRNGKey(2), bcfg)
         reranker = CrossEncoderReranker(bparams, bcfg, btok)
 
-    engine = SearchEngine(idx, embedder=embedder, corpus=corpus, bm25=bm25,
-                          reranker=reranker)
+    return SearchEngine(idx, embedder=embedder, corpus=corpus, bm25=bm25,
+                        reranker=reranker)
+
+
+def cmd_search(args) -> int:
+    engine = _build_engine(args)
     cats = args.categories.split(",") if args.categories else None
     results = engine.search(args.query, k=args.k, categories=cats, hybrid_alpha=args.hybrid_alpha)
     for qi, hits in enumerate(results):
@@ -526,6 +536,35 @@ def cmd_search(args) -> int:
             if h.text:
                 line += f" :: {h.text[:100]}"
             print(line)
+    return 0
+
+
+
+def _add_serve(sub) -> None:
+    p = sub.add_parser("serve", help="HTTP query service over an index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--corpus", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+
+
+def cmd_serve(args) -> int:
+    engine = _build_engine(args)
+    from arxiv_rag_tpu.serve import serve
+
+    httpd = serve(
+        engine, args.host, args.port,
+        index_stats={"rows": engine.index.num_rows, "dim": engine.index.dim,
+                     "dtype": engine.index.dtype},
+    )
+    print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
     return 0
 
 
@@ -566,6 +605,7 @@ COMMANDS = {
     "embed": cmd_embed,
     "index": cmd_index,
     "search": cmd_search,
+    "serve": cmd_serve,
     "bench": cmd_bench,
 }
 
@@ -574,7 +614,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="arag", description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="command", required=True)
     for adder in (_add_download, _add_dedup, _add_extract, _add_chunk, _add_repair, _add_augment,
-                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_bench):
+                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_serve, _add_bench):
         adder(sub)
     return ap
 

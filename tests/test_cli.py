@@ -121,3 +121,62 @@ def test_cli_search_hybrid_and_rerank(pdf_root, tmp_path, capsys):
                  "--hybrid-alpha", "0.7", "--rerank-random-init"]) == 0
     out = capsys.readouterr().out
     assert "query[0]" in out and "row=" in out
+
+
+def test_cli_serve_http_roundtrip(pdf_root, tmp_path):
+    import urllib.request
+
+    corpus = tmp_path / "c3"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    emb = tmp_path / "e3"
+    main(["embed", "--corpus", str(corpus), "--out", str(emb),
+          "--random-init", "--batch-size", "8", "--min-quality", "0.0"])
+    idx_dir = tmp_path / "i3"
+    main(["index", "--embeddings", str(emb), "--corpus", str(corpus),
+          "--out", str(idx_dir), "--dtype", "float32"])
+
+    import jax, jax.numpy as jnp
+    from arxiv_rag_tpu.embed import Embedder
+    from arxiv_rag_tpu.index.store import DenseIndex
+    from arxiv_rag_tpu.models import ModelConfig, init_params
+    from arxiv_rag_tpu.search.engine import SearchEngine
+    from arxiv_rag_tpu.serve import serve_in_thread
+    from arxiv_rag_tpu.store.corpus import CorpusReader
+    from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+    mcfg = ModelConfig()
+    params = init_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
+    engine = SearchEngine(
+        DenseIndex.load(idx_dir),
+        embedder=Embedder(params, mcfg, WordPieceTokenizer.toy()),
+        corpus=CorpusReader(corpus),
+        use_pallas=False,
+    )
+    httpd, _thread = serve_in_thread(engine, port=0,
+                                     index_stats={"rows": engine.index.num_rows})
+    host, port = httpd.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    with urllib.request.urlopen(f"{base}/healthz") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["rows"] > 0
+
+    req = urllib.request.Request(
+        f"{base}/search",
+        data=json.dumps({"queries": ["dense retrieval"], "k": 3}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        body = json.loads(r.read())
+    assert len(body["results"]) == 1
+    assert len(body["results"][0]) == 3
+    assert body["results"][0][0]["chunk_id"]
+
+    # bad request -> 400
+    bad = urllib.request.Request(f"{base}/search", data=b'{"queries": "nope"}')
+    try:
+        urllib.request.urlopen(bad)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    httpd.shutdown()
