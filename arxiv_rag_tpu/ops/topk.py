@@ -68,7 +68,18 @@ def flat_search(
         preferred_element_type=jnp.float32,
         precision=matmul_precision(index.dtype),
     )
-    values, indices = jax.lax.top_k(scores, k)
+    return _topk_padded(scores, k)
+
+
+def _topk_padded(scores: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """lax.top_k clamped to the row count; short results pad with
+    (-inf, -1) so callers always get the requested k columns."""
+    kk = min(k, scores.shape[-1])
+    values, indices = jax.lax.top_k(scores, kk)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        values = jnp.pad(values, pad, constant_values=NEG_INF)
+        indices = jnp.pad(indices, pad, constant_values=-1)
     return values, indices
 
 
@@ -94,8 +105,7 @@ def masked_flat_search(
     )
     eligible = (row_masks[None, :] & query_mask[:, None]) != 0
     scores = jnp.where(eligible, scores, NEG_INF)
-    values, indices = jax.lax.top_k(scores, k)
-    return values, indices
+    return _topk_padded(scores, k)
 
 
 def category_bit(categories: list[str], category: str) -> int:

@@ -106,3 +106,18 @@ def test_k_larger_than_matches(data):
     fv = np.asarray(fv)
     assert np.isfinite(fv[:, :3]).all()
     assert np.isneginf(fv[:, 3:]).all()
+
+
+def test_flat_search_k_exceeds_rows():
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.ops.topk import flat_search
+
+    rng = np.random.default_rng(0)
+    idx = rng.standard_normal((6, 8)).astype(np.float32)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    vals, ids = flat_search(jnp.asarray(idx), jnp.asarray(q), k=10)
+    assert vals.shape == (2, 10) and ids.shape == (2, 10)
+    assert (np.asarray(ids)[:, 6:] == -1).all()
+    assert np.isneginf(np.asarray(vals)[:, 6:]).all()
+    assert (np.asarray(ids)[:, :6] >= 0).all()
