@@ -81,6 +81,28 @@ def main() -> None:
     index.block_until_ready()
     log("index cast to bf16")
 
+    # CPU baseline runs in a thread while the device compiles the kernel
+    # (the Pallas remote compile takes 2-10 min on the shared pool and
+    # releases the GIL; the 1-core host is otherwise idle)
+    import threading
+
+    cpu_result: dict = {}
+
+    def cpu_baseline():
+        rng = np.random.default_rng(0)
+        host_slice = rng.standard_normal((cpu_rows, dim), dtype=np.float32)
+        host_slice /= np.linalg.norm(host_slice, axis=1, keepdims=True)
+        host_q = np.asarray(queries_dev, np.float32)
+        t0 = time.perf_counter()
+        hv, hi = cosine_topk_numpy(host_slice, host_q, k)
+        cpu_result["slice_s"] = time.perf_counter() - t0
+        cpu_result["hv"], cpu_result["hi"] = hv, hi
+        cpu_result["host_slice"], cpu_result["host_q"] = host_slice, host_q
+        log(f"cpu scan {cpu_rows} rows: {cpu_result['slice_s']:.2f}s (threaded)")
+
+    cpu_thread = threading.Thread(target=cpu_baseline, daemon=True)
+    cpu_thread.start()
+
     def run_search():
         if on_tpu:
             return fused_topk(index, queries_dev.astype(jnp.bfloat16), k, block_rows=2048)
@@ -170,16 +192,12 @@ def main() -> None:
         )
         log(f"int8 recall@{k} = {int8_recall:.4f}")
 
-    # --- CPU baseline: numpy exact scan on a measured slice ------------------
-    rng = np.random.default_rng(0)
-    host_slice = rng.standard_normal((cpu_rows, dim), dtype=np.float32)
-    host_slice /= np.linalg.norm(host_slice, axis=1, keepdims=True)
-    host_q = np.asarray(queries_dev, np.float32)
-    t0 = time.perf_counter()
-    hv, hi = cosine_topk_numpy(host_slice, host_q, k)
-    cpu_slice_s = time.perf_counter() - t0
-    cpu_qps = q_batch / (cpu_slice_s * (n_rows / cpu_rows))
-    log(f"cpu scan {cpu_rows} rows: {cpu_slice_s:.2f}s -> scaled {cpu_qps:.2f} qps @{n_rows}")
+    # --- CPU baseline: join the thread started before kernel compile ---------
+    cpu_thread.join()
+    hv, hi = cpu_result["hv"], cpu_result["hi"]
+    host_slice, host_q = cpu_result["host_slice"], cpu_result["host_q"]
+    cpu_qps = q_batch / (cpu_result["slice_s"] * (n_rows / cpu_rows))
+    log(f"cpu baseline scaled: {cpu_qps:.2f} qps @{n_rows}")
 
     # host numpy cross-check of the device oracle on the same slice
     xcheck = -1.0
