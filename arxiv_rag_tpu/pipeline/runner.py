@@ -47,6 +47,35 @@ class PaperResult:
 _WORKER_STATE: dict = {}
 
 
+def _make_sentence_encoder(cfg: Config):
+    """Sentence encoder for semantic chunking: the framework's own
+    jitted model (one SPMD encoder replaces the reference's per-worker
+    torch MiniLM, ``text_processor.py:856-887``). ``semantic_model`` is
+    a converted-checkpoint dir; returns None when unavailable."""
+    from pathlib import Path as _P
+
+    ckpt = _P(cfg.chunking.semantic_model)
+    if not (ckpt / "config.json").exists():
+        return None
+    try:
+        from arxiv_rag_tpu.embed import Embedder
+        from arxiv_rag_tpu.models.convert import load_checkpoint
+        from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+        params, mcfg = load_checkpoint(ckpt)
+        vocab = ckpt / "vocab.txt"
+        tok = (
+            WordPieceTokenizer.from_vocab_file(vocab)
+            if vocab.exists()
+            else WordPieceTokenizer.toy()
+        )
+        embedder = Embedder(params, mcfg, tok, batch_size=cfg.chunking.semantic_batch_size)
+        return embedder.encode_texts
+    except (OSError, KeyError, ValueError) as exc:
+        log.warning("semantic encoder load failed: %s", exc)
+        return None
+
+
 def _components(cfg: Config) -> tuple[PDFExtractor, TextCleaner, Chunker]:
     """Construct (and per-process cache) the pipeline components —
     unlike ``worker.py:244-313``, which re-initializes per *paper*."""
@@ -61,6 +90,16 @@ def _components(cfg: Config) -> tuple[PDFExtractor, TextCleaner, Chunker]:
             semantic_threshold=cfg.chunking.semantic_threshold,
             semantic_overlap_frac=cfg.chunking.semantic_overlap_frac,
         )
+        sentence_encoder = None
+        if cfg.chunking.method == "semantic":
+            sentence_encoder = _make_sentence_encoder(cfg)
+            if sentence_encoder is None:
+                log.warning(
+                    "semantic chunking requested but no encoder checkpoint at "
+                    "%s; Chunker will fall back to fixed (reference analog: "
+                    "worker+CPU forces fixed, text_processor.py:1006-1034)",
+                    cfg.chunking.semantic_model,
+                )
         _WORKER_STATE.update(
             key=key,
             extractor=PDFExtractor(
@@ -68,7 +107,7 @@ def _components(cfg: Config) -> tuple[PDFExtractor, TextCleaner, Chunker]:
                 accept_score=cfg.extraction.accept_quality,
             ),
             cleaner=TextCleaner(),
-            chunker=Chunker(chunk_cfg),
+            chunker=Chunker(chunk_cfg, sentence_encoder=sentence_encoder),
         )
     return _WORKER_STATE["extractor"], _WORKER_STATE["cleaner"], _WORKER_STATE["chunker"]
 
