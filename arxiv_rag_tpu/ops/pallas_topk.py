@@ -237,7 +237,7 @@ def fused_topk(
     k: int,
     *,
     n_valid: int | None = None,
-    block_rows: int = 1024,
+    block_rows: int = 4096,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flat-scan top-k. ``index`` [N, D] (f32/bf16), rows
@@ -276,7 +276,7 @@ def fused_topk_masked(
     k: int,
     *,
     n_valid: int | None = None,
-    block_rows: int = 1024,
+    block_rows: int = 4096,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Metadata-filtered fused top-k (row bitmask & query bitmask != 0)."""
@@ -316,7 +316,7 @@ def fused_topk_int8(
     k: int,
     *,
     n_valid: int | None = None,
-    block_rows: int = 1024,
+    block_rows: int = 4096,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """int8 index × int8 queries on the MXU with int32 accumulation;

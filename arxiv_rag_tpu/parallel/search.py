@@ -50,7 +50,7 @@ def sharded_topk(
     n_valid: int | None = None,
     axis_name: str = DATA_AXIS,
     use_pallas: bool | None = None,
-    block_rows: int = 1024,
+    block_rows: int = 4096,
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded index. Returns replicated
     (values [Q,k], global ids [Q,k])."""

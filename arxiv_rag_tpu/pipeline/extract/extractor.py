@@ -251,8 +251,12 @@ class PDFExtractor:
         except pdfcore.PDFError as exc:
             return ExtractionResult("", [], "none", 0.0, "unknown", False, error=f"parse: {exc}")
 
-        pdf_type = self.detect_pdf_type(doc)
-        n_pages = len(doc.pages())
+        try:
+            pdf_type = self.detect_pdf_type(doc)
+            n_pages = len(doc.pages())
+        except pdfcore.PDFError as exc:
+            return ExtractionResult("", [], "none", 0.0, "unknown", False,
+                                    error=f"structure: {exc}")
         if pdf_type == "scanned":
             return ExtractionResult(
                 "", [], "none", 0.0, "scanned", False,

@@ -422,8 +422,11 @@ def decode_stream(sdict: dict, raw: bytes, doc: "Document | None" = None) -> byt
                 data = zlib.decompress(data)
             except zlib.error:
                 # tolerate trailing garbage / missing EOD
-                d = zlib.decompressobj()
-                data = d.decompress(data)
+                try:
+                    d = zlib.decompressobj()
+                    data = d.decompress(data)
+                except zlib.error as exc:
+                    raise PDFError(f"flate decode failed: {exc}") from exc
         elif f in ("ASCIIHexDecode", "AHx"):
             data = bytes.fromhex(
                 data.replace(b">", b"").translate(None, bytes(WHITESPACE)).decode("ascii")

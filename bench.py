@@ -105,7 +105,7 @@ def main() -> None:
 
     def run_search():
         if on_tpu:
-            return fused_topk(index, queries_dev.astype(jnp.bfloat16), k, block_rows=2048)
+            return fused_topk(index, queries_dev.astype(jnp.bfloat16), k, block_rows=4096)
         return flat_search(index, queries_dev, k)
 
     vals, ids = run_search()
@@ -175,12 +175,12 @@ def main() -> None:
         i8_scales = jnp.concatenate(slices_s, axis=0)
         del slices_v, slices_s
         index_f32.delete()  # fp32 no longer needed; free 4 bytes/elt of HBM
-        iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=2048)
+        iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=4096)
         _ = np.asarray(iv)
         lat8 = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=2048)
+            iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=4096)
             _ = np.asarray(iv)
             lat8.append(time.perf_counter() - t0)
         int8_s = sorted(lat8)[len(lat8) // 2]
