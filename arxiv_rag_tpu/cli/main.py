@@ -540,6 +540,126 @@ def cmd_search(args) -> int:
 
 
 
+
+def _add_train(sub) -> None:
+    p = sub.add_parser("train", help="contrastive fine-tune of the encoder")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True, help="output checkpoint dir")
+    p.add_argument("--checkpoint", default=None, help="starting checkpoint (else random init)")
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--max-pairs", type=int, default=50000)
+    p.add_argument("--shard-batches", action="store_true")
+    p.add_argument("--small-model", action="store_true",
+                   help="tiny ModelConfig for smoke runs")
+
+
+def cmd_train(args) -> int:
+    """Fine-tune the embedder on (title+abstract -> chunk) pairs mined
+    from the corpus: self-supervised domain adaptation, the capability
+    the reference lacks (it only consumes a frozen checkpoint)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.models import ModelConfig, init_params
+    from arxiv_rag_tpu.models.convert import load_checkpoint, save_checkpoint
+    from arxiv_rag_tpu.pipeline.repair import load_paper_titles
+    from arxiv_rag_tpu.store.corpus import CorpusReader
+    from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+    from arxiv_rag_tpu.train import make_train_step
+
+    # --- mine pairs: query = paper title, positive = a chunk of it ---
+    reader = CorpusReader(args.corpus)
+    titles = load_paper_titles(args.corpus)
+    pairs: list[tuple[str, str]] = []
+    for batch in reader.iter_batches(columns=["paper_id", "text"]):
+        for row in batch.to_pylist():
+            title = titles.get(row["paper_id"], "")
+            if len(title) > 10 and len(row["text"]) > 100:
+                pairs.append((title, row["text"]))
+            if len(pairs) >= args.max_pairs:
+                break
+        if len(pairs) >= args.max_pairs:
+            break
+    if len(pairs) < args.batch_size:
+        print(f"not enough pairs ({len(pairs)}) for batch {args.batch_size}",
+              file=sys.stderr)
+        return 2
+
+    if args.checkpoint:
+        params, mcfg = load_checkpoint(args.checkpoint)
+        vocab_path = args.vocab or str(Path(args.checkpoint) / "vocab.txt")
+    else:
+        mcfg = (
+            ModelConfig(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=128,
+                        max_position_embeddings=args.seq_len + 2)
+            if args.small_model else ModelConfig()
+        )
+        params = init_params(jax.random.PRNGKey(0), mcfg)
+        vocab_path = args.vocab
+    tokenizer = (
+        WordPieceTokenizer.from_vocab_file(vocab_path)
+        if vocab_path and Path(vocab_path).exists()
+        else WordPieceTokenizer.toy()
+    )
+    if args.small_model:
+        mcfg = ModelConfig(
+            vocab_size=max(tokenizer.vocab.values()) + 1, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=args.seq_len + 2,
+            pad_token_id=tokenizer.pad_id,
+        )
+        params = init_params(jax.random.PRNGKey(0), mcfg)
+
+    mesh = None
+    if args.shard_batches:
+        from arxiv_rag_tpu.parallel import data_mesh
+
+        mesh = data_mesh()
+    init_state, train_step = make_train_step(
+        mcfg, learning_rate=args.lr, mesh=mesh,
+        compute_dtype=jnp.bfloat16 if not args.small_model else jnp.float32,
+    )
+    state = init_state(params)
+
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(pairs))
+    bs, sl = args.batch_size, args.seq_len
+    losses = []
+    for step in range(args.steps):
+        sel = order[(step * bs) % len(pairs):][:bs]
+        if len(sel) < bs:
+            sel = np.concatenate([sel, order[: bs - len(sel)]])
+        q_texts = [pairs[i][0] for i in sel]
+        p_texts = [pairs[i][1] for i in sel]
+        q_ids, q_mask = tokenizer.encode_batch(q_texts, max_len=sl)
+        p_ids, p_mask = tokenizer.encode_batch(p_texts, max_len=sl)
+        state, metrics = train_step(
+            state, jnp.asarray(q_ids), jnp.asarray(q_mask),
+            jnp.asarray(p_ids), jnp.asarray(p_mask),
+        )
+        losses.append(float(metrics["loss"]))
+        if (step + 1) % 10 == 0:
+            print(f"step {step+1}/{args.steps} loss={losses[-1]:.4f} "
+                  f"acc={float(metrics['in_batch_acc']):.3f}", file=sys.stderr)
+
+    save_checkpoint(args.out, jax.device_get(state.params), mcfg)
+    if vocab_path and Path(vocab_path).exists():
+        (Path(args.out) / "vocab.txt").write_text(Path(vocab_path).read_text())
+    print(json.dumps({
+        "steps": args.steps, "pairs": len(pairs),
+        "first_loss": round(losses[0], 4), "last_loss": round(losses[-1], 4),
+        "saved": args.out,
+    }))
+    return 0
+
+
 def _add_serve(sub) -> None:
     p = sub.add_parser("serve", help="HTTP query service over an index")
     p.add_argument("--index", required=True)
@@ -605,6 +725,7 @@ COMMANDS = {
     "embed": cmd_embed,
     "index": cmd_index,
     "search": cmd_search,
+    "train": cmd_train,
     "serve": cmd_serve,
     "bench": cmd_bench,
 }
@@ -614,7 +735,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="arag", description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="command", required=True)
     for adder in (_add_download, _add_dedup, _add_extract, _add_chunk, _add_repair, _add_augment,
-                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_serve, _add_bench):
+                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_train, _add_serve, _add_bench):
         adder(sub)
     return ap
 

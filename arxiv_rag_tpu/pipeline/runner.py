@@ -55,7 +55,7 @@ def _make_sentence_encoder(cfg: Config):
     from pathlib import Path as _P
 
     ckpt = _P(cfg.chunking.semantic_model)
-    if not (ckpt / "config.json").exists():
+    if not (ckpt / "model_config.json").exists():
         return None
     try:
         from arxiv_rag_tpu.embed import Embedder

@@ -180,3 +180,22 @@ def test_cli_serve_http_roundtrip(pdf_root, tmp_path):
     except urllib.error.HTTPError as e:
         assert e.code == 400
     httpd.shutdown()
+
+
+def test_cli_train_smoke(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "c4"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    capsys.readouterr()
+    out_ckpt = tmp_path / "ckpt"
+    assert main(["train", "--corpus", str(corpus), "--out", str(out_ckpt),
+                 "--steps", "6", "--batch-size", "4", "--seq-len", "32",
+                 "--lr", "3e-4", "--small-model"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pairs"] >= 4
+    assert (out_ckpt / "params.msgpack").exists()
+    assert (out_ckpt / "model_config.json").exists()
+    # fine-tuned checkpoint loads back
+    from arxiv_rag_tpu.models.convert import load_checkpoint
+
+    params, cfg = load_checkpoint(out_ckpt)
+    assert cfg.hidden_size == 64
