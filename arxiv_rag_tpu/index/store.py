@@ -75,11 +75,10 @@ def build_index(
     if normalize:
         emb = _l2_normalize(emb)
     if categories is not None:
+        from arxiv_rag_tpu.ops.topk import make_row_masks
+
         cats = list(category_names) if category_names else sorted(set(categories))
-        if len(cats) > 32:
-            raise ValueError("at most 32 categories fit the uint32 row mask")
-        bit_of = {c: np.uint32(1 << i) for i, c in enumerate(cats)}
-        row_masks = np.array([bit_of.get(c, np.uint32(0)) for c in categories], np.uint32)
+        row_masks = make_row_masks(np.asarray(categories, object), cats)
     else:
         cats, row_masks = [], None
 
@@ -187,7 +186,7 @@ class DenseIndex:
 
     # -- device placement --------------------------------------------------
 
-    def to_device(self, mesh=None, row_multiple: int = 1024) -> "DenseIndex":
+    def to_device(self, mesh=None, row_multiple: int = 4096) -> "DenseIndex":
         """Place the index in HBM: replicated (mesh=None) or row-sharded.
 
         Rows are padded to a block/shard multiple; searches mask global

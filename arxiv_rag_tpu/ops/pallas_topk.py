@@ -137,6 +137,9 @@ def _topk_kernel(
             )
             hit = mcols == sel_col
             chosen = jnp.sum(jnp.where(hit, midx, 0), axis=1, keepdims=True)
+            # fewer than k eligible rows: exhausted slots (m == -inf)
+            # must carry id -1, not a duplicate of an extracted row
+            chosen = jnp.where(m > NEG_INF, chosen, -1)
             # column-j write as a vectorized select (scatter is not
             # available in Mosaic)
             new_vals = jnp.where(lane_cols == j, m, new_vals)
@@ -162,6 +165,11 @@ def _build_call(
     use_int8: bool,
     interpret: bool,
 ):
+    if k > LANES:
+        raise ValueError(
+            f"fused top-k holds at most k={LANES} candidates per query "
+            f"(got k={k}); use the XLA flat_search path for larger k"
+        )
     num_blocks = pl.cdiv(n_rows, block_rows)
     kernel = functools.partial(
         _topk_kernel,

@@ -50,4 +50,10 @@ def int8_search(
     if row_masks is not None and query_mask is not None:
         eligible = (row_masks[None, :] & query_mask[:, None]) != 0
         scores = jnp.where(eligible, scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
+    else:
+        # padding rows carry scale 0 and would score exactly 0.0 —
+        # above any genuinely-negative-similarity row; exclude them
+        scores = jnp.where(scales[None, :] > 0, scores, -jnp.inf)
+    from arxiv_rag_tpu.ops.topk import _topk_padded
+
+    return _topk_padded(scores, k)

@@ -94,7 +94,11 @@ class BM25Index:
     # -- persistence (npz + vocab) ----------------------------------------
 
     def save(self, path: str | Path) -> None:
+        # np.savez appends .npz when missing; normalize so save/load
+        # accept the same path
         path = Path(path)
+        if path.suffix != ".npz":
+            path = path.with_suffix(path.suffix + ".npz")
         path.parent.mkdir(parents=True, exist_ok=True)
         flat_ids = np.concatenate([p.doc_ids for p in self.postings]) if self.postings else np.zeros(0, np.int32)
         flat_tfs = np.concatenate([p.tfs for p in self.postings]) if self.postings else np.zeros(0, np.float32)
@@ -111,6 +115,9 @@ class BM25Index:
 
     @classmethod
     def load(cls, path: str | Path) -> "BM25Index":
+        path = Path(path)
+        if path.suffix != ".npz" and not path.exists():
+            path = path.with_suffix(path.suffix + ".npz")
         z = np.load(path, allow_pickle=False)
         k1, b, avg_len, num_docs = z["meta"]
         idx = cls(float(k1), float(b))

@@ -82,18 +82,27 @@ class SearchEngine:
         idx = self.index
         q = jnp.asarray(query_embs, jnp.float32)
         n_valid = idx._n_valid
+        # the fused kernel's VMEM scratch holds <=128 candidates/query;
+        # larger k (e.g. deep rerank pools) routes to the XLA path
+        use_pallas = self.use_pallas and k <= 128
         with METRICS.timer("search.dense"):
             if idx._mesh is not None:
+                if categories is not None:
+                    raise NotImplementedError(
+                        "category filtering on a mesh-sharded index is not "
+                        "implemented yet; use a single-chip index or filter "
+                        "post-hoc with a larger k"
+                    )
                 from arxiv_rag_tpu.parallel.search import sharded_topk
 
                 vals, rows = sharded_topk(
                     idx._device_values, q, k, idx._mesh,
-                    n_valid=n_valid, use_pallas=self.use_pallas,
+                    n_valid=n_valid, use_pallas=use_pallas,
                 )
             elif categories is not None or idx.dtype == "int8":
-                vals, rows = self._single_chip(q, k, categories)
+                vals, rows = self._single_chip(q, k, categories, use_pallas)
             else:
-                if self.use_pallas:
+                if use_pallas:
                     vals, rows = fused_topk(idx._device_values, q, k, n_valid=n_valid)
                 else:
                     vals, rows = self._xla_plain(q, k)
@@ -114,13 +123,15 @@ class SearchEngine:
             idx._device_values, valid, jnp.ones((q.shape[0],), jnp.int32), q, k
         )
 
-    def _single_chip(self, q, k, categories):
+    def _single_chip(self, q, k, categories, use_pallas: bool | None = None):
+        if use_pallas is None:
+            use_pallas = self.use_pallas and k <= 128
         idx = self.index
         qn = q.shape[0]
         n_valid = idx._n_valid
         if idx.dtype == "int8":
             if categories is None:
-                if self.use_pallas:
+                if use_pallas:
                     return fused_topk_int8(
                         idx._device_values, idx._device_scales, q, k, n_valid=n_valid
                     )
@@ -153,7 +164,7 @@ class SearchEngine:
         valid = jnp.arange(idx._device_values.shape[0]) < n_valid
         row_masks = jnp.where(valid, idx._device_masks, 0)
         qmask = self._qmask(categories, qn)
-        if self.use_pallas:
+        if use_pallas:
             return fused_topk_masked(
                 idx._device_values, row_masks, qmask, q, k, n_valid=n_valid
             )
@@ -206,6 +217,13 @@ class SearchEngine:
             h.extras["dense_score"] = h.score
             h.score = float(s)
             out.append(h)
+        # text-less candidates can't be cross-encoded; keep them after
+        # the reranked set (dense order) rather than dropping them
+        for h in hits:
+            if len(out) >= k:
+                break
+            if not h.text:
+                out.append(h)
         return out
 
     def _hybrid(self, queries, query_embs, k, categories, alpha):
@@ -227,15 +245,22 @@ class SearchEngine:
                 if len(v) == 0:
                     return v
                 lo, hi = float(np.min(v)), float(np.max(v))
-                return (v - lo) / (hi - lo) if hi > lo else np.ones_like(v)
+                if hi > lo:
+                    return (v - lo) / (hi - lo)
+                # all-equal scores: all-zero means "no signal" (e.g. a
+                # fully-OOV BM25 query) — give it no weight, not full
+                return np.zeros_like(v) if hi == 0.0 else np.ones_like(v)
 
             for r, s in zip(dr, norm(dv)):
                 cand.setdefault(int(r), [0.0, 0.0])[0] = float(s)
+            cat_bits = (
+                self.index.category_mask(categories)
+                if categories is not None and self.index.row_masks is not None
+                else None
+            )
             for r, s in zip(brows, norm(bvals)):
-                if categories is not None and self.index.row_masks is not None:
-                    bits = self.index.category_mask(categories)
-                    if not (self.index.row_masks[int(r)] & bits):
-                        continue
+                if cat_bits is not None and not (self.index.row_masks[int(r)] & cat_bits):
+                    continue
                 cand.setdefault(int(r), [0.0, 0.0])[1] = float(s)
             merged = sorted(
                 ((alpha * d + (1 - alpha) * b, r) for r, (d, b) in cand.items()),

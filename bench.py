@@ -74,12 +74,18 @@ def main() -> None:
     queries_dev.block_until_ready()
     log("queries ready")
 
+    BLOCK_ROWS = 4096
     index_f32 = make_normal(ki, n_rows)
     index_f32.block_until_ready()
     log("index generated on device (fp32)")
+    # pad ONCE to the kernel block multiple — an unaligned index makes
+    # fused_topk pad per call (a full index copy inside the timed loop)
+    pad = (-n_rows) % BLOCK_ROWS
     index = index_f32.astype(jnp.bfloat16)
+    if pad:
+        index = jnp.pad(index, ((0, pad), (0, 0)))
     index.block_until_ready()
-    log("index cast to bf16")
+    log(f"index cast to bf16 (+{pad} pad rows)")
 
     # CPU baseline runs in a thread while the device compiles the kernel
     # (the Pallas remote compile takes 2-10 min on the shared pool and
@@ -105,7 +111,8 @@ def main() -> None:
 
     def run_search():
         if on_tpu:
-            return fused_topk(index, queries_dev.astype(jnp.bfloat16), k, block_rows=4096)
+            return fused_topk(index, queries_dev.astype(jnp.bfloat16), k,
+                              n_valid=n_rows, block_rows=BLOCK_ROWS)
         return flat_search(index, queries_dev, k)
 
     vals, ids = run_search()
@@ -133,7 +140,7 @@ def main() -> None:
     _ = np.asarray(red(index))
     t0 = time.perf_counter()
     _ = np.asarray(red(index))
-    sol_gbps = n_rows * dim * (2 if on_tpu else 4) / (time.perf_counter() - t0) / 1e9
+    sol_gbps = index.shape[0] * dim * (2 if on_tpu else 4) / (time.perf_counter() - t0) / 1e9
     log(f"pure-read reference: {sol_gbps:.0f} GB/s -> kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of speed-of-light")
 
     # --- recall oracle: on-device fp32 exact scan ----------------------------
@@ -173,14 +180,19 @@ def main() -> None:
             slices_s.append(sc)
         i8_vals = jnp.concatenate(slices_v, axis=0)
         i8_scales = jnp.concatenate(slices_s, axis=0)
+        if pad:
+            i8_vals = jnp.pad(i8_vals, ((0, pad), (0, 0)))
+            i8_scales = jnp.pad(i8_scales, (0, pad))
         del slices_v, slices_s
         index_f32.delete()  # fp32 no longer needed; free 4 bytes/elt of HBM
-        iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=4096)
+        iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k,
+                                 n_valid=n_rows, block_rows=BLOCK_ROWS)
         _ = np.asarray(iv)
         lat8 = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k, block_rows=4096)
+            iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k,
+                                     n_valid=n_rows, block_rows=BLOCK_ROWS)
             _ = np.asarray(iv)
             lat8.append(time.perf_counter() - t0)
         int8_s = sorted(lat8)[len(lat8) // 2]

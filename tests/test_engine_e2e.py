@@ -154,3 +154,36 @@ def test_bm25_standalone():
         s2, r2 = idx2.topk("cat", 2)
         np.testing.assert_allclose(scores, s2)
         np.testing.assert_array_equal(rows, r2)
+
+
+def test_mesh_index_rejects_category_filter():
+    import numpy as np
+    import pytest as _pytest
+
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.parallel import data_mesh
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(0)
+    embs = rng.standard_normal((64, 16)).astype(np.float32)
+    idx = build_index(embs, categories=["cs.LG"] * 64, dtype="float32")
+    idx.to_device(mesh=data_mesh(4))
+    engine = SearchEngine(idx, use_pallas=False)
+    q = embs[:2]
+    with _pytest.raises(NotImplementedError):
+        engine.search_embeddings(q, k=5, categories=["cs.LG"])
+
+
+def test_large_k_routes_to_xla():
+    import numpy as np
+
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(0)
+    embs = rng.standard_normal((300, 16)).astype(np.float32)
+    idx = build_index(embs, dtype="float32")
+    engine = SearchEngine(idx, use_pallas=True)  # force-pallas, k>128 must fall back
+    vals, rows = engine.search_embeddings(embs[:2], k=200)
+    assert vals.shape == (2, 200)
+    assert (rows[:, :300] < 300).all()

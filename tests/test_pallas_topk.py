@@ -123,3 +123,32 @@ def test_fused_per_query_masks_differ(data):
     for qi in range(Q):
         want = CATEGORIES[qi % len(CATEGORIES)]
         assert all(cats[i] == want for i in fi[qi])
+
+
+def test_masked_fewer_than_k_eligible_pads_with_minus1():
+    """<k eligible rows: padded slots must be (-inf, -1), not dupes."""
+    rng = np.random.default_rng(5)
+    n, d, k = 256, 32, 10
+    index = rng.standard_normal((n, d)).astype(np.float32)
+    index /= np.linalg.norm(index, axis=1, keepdims=True)
+    q = index[:2] + 0.01
+    row_masks = np.zeros(n, np.int32)
+    row_masks[:3] = 1  # only 3 eligible rows
+    qmask = np.ones(2, np.int32)
+    vals, ids = fused_topk_masked(
+        jnp.asarray(index), jnp.asarray(row_masks), jnp.asarray(qmask),
+        jnp.asarray(q), k, interpret=True,
+    )
+    ids = np.asarray(ids)
+    vals = np.asarray(vals)
+    assert (ids[:, 3:] == -1).all()
+    assert np.isneginf(vals[:, 3:]).all()
+    assert len(set(ids[0, :3].tolist())) == 3  # no duplicates
+
+
+def test_k_above_lanes_raises():
+    rng = np.random.default_rng(0)
+    index = jnp.asarray(rng.standard_normal((256, 32)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+    with pytest.raises(ValueError, match="k=128"):
+        fused_topk(index, q, 129, interpret=True)

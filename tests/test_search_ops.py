@@ -121,3 +121,34 @@ def test_flat_search_k_exceeds_rows():
     assert (np.asarray(ids)[:, 6:] == -1).all()
     assert np.isneginf(np.asarray(vals)[:, 6:]).all()
     assert (np.asarray(ids)[:, :6] >= 0).all()
+
+
+def test_bm25_save_load_without_npz_suffix(tmp_path):
+    from arxiv_rag_tpu.search.bm25 import BM25Index
+
+    idx = BM25Index.build(["alpha beta gamma", "beta delta", "gamma epsilon"])
+    p = tmp_path / "bm25.bin"
+    idx.save(p)
+    idx2 = BM25Index.load(p)  # same path accepted back
+    v1, r1 = idx.topk("beta gamma", 2)
+    v2, r2 = idx2.topk("beta gamma", 2)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+
+def test_int8_search_padding_rows_excluded():
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.ops.quant import int8_search, quantize_int8
+
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((20, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    vals8, scales = quantize_int8(emb)
+    # simulate device padding: 12 zero rows with zero scales
+    vals8 = jnp.pad(vals8, ((0, 12), (0, 0)))
+    scales = jnp.pad(scales, (0, 12))
+    # query anti-correlated with everything -> all true scores negative
+    q = -np.asarray(emb[:1])
+    v, r = int8_search(vals8, scales, jnp.asarray(q), k=5)
+    assert (np.asarray(r) < 20).all()  # no padding rows in results
