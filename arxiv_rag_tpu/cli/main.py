@@ -416,10 +416,9 @@ def cmd_index(args) -> int:
                 cat_of[row["chunk_id"]] = row["category"]
         categories = [cat_of.get(cid, "") for cid in ids]
 
-    idx = build_index(embs, categories=categories, dtype=args.dtype)
+    idx = build_index(embs, categories=categories, dtype=args.dtype, chunk_ids=ids)
     idx.model = manifest.get("model", "")
-    idx.save(args.out)
-    (Path(args.out) / "chunk_ids.json").write_text(json.dumps(ids))
+    idx.save(args.out)  # writes chunk_ids.json from idx.chunk_ids
     print(json.dumps({"rows": idx.num_rows, "dim": idx.dim, "dtype": idx.dtype,
                       "categories": idx.categories}))
     return 0

@@ -14,8 +14,9 @@ disk fallback (``generate_embeddings_parallel.py:271-468``,
 - device: ``to_device()`` places the matrix in HBM — replicated on one
   chip or row-sharded over a mesh (parallel/mesh.py) for configs[5].
 
-Row order is corpus row order (store/corpus.py), so chunk metadata for
-a search hit is a direct row lookup, not an id join.
+Row order follows the embed pass; when quality filtering makes index
+rows a subset of corpus rows, ``chunk_ids`` records the row→chunk_id
+mapping and the engine joins metadata through it.
 """
 
 from __future__ import annotations
@@ -69,6 +70,7 @@ def build_index(
     category_names: Sequence[str] | None = None,
     dtype: str = "bfloat16",
     normalize: bool = True,
+    chunk_ids: Sequence[str] | None = None,
 ) -> "DenseIndex":
     """Build an in-memory DenseIndex from an [N, D] embedding matrix."""
     emb = np.asarray(embeddings, np.float32)
@@ -87,11 +89,13 @@ def build_index(
         return DenseIndex(
             values=np.asarray(values), scales=np.asarray(scales), dtype="int8",
             normalized=normalize, categories=cats, row_masks=row_masks,
+            chunk_ids=list(chunk_ids) if chunk_ids is not None else None,
         )
     values = emb.astype(jnp.bfloat16) if dtype == "bfloat16" else emb
     return DenseIndex(
         values=np.asarray(values), scales=None, dtype=dtype,
         normalized=normalize, categories=cats, row_masks=row_masks,
+        chunk_ids=list(chunk_ids) if chunk_ids is not None else None,
     )
 
 
@@ -104,6 +108,9 @@ class DenseIndex:
     categories: list[str]
     row_masks: np.ndarray | None  # [N] uint32
     model: str = ""
+    # optional row -> chunk_id mapping (needed when the embed pass
+    # filtered rows, so index rows != corpus rows)
+    chunk_ids: list[str] | None = None
 
     # device-side state, populated by to_device()
     _device_values: jax.Array | None = None
@@ -150,6 +157,8 @@ class DenseIndex:
             np.save(directory / "scales.npy", self.scales)
         if self.row_masks is not None:
             np.save(directory / "row_masks.npy", self.row_masks)
+        if self.chunk_ids is not None:
+            (directory / "chunk_ids.json").write_text(json.dumps(self.chunk_ids))
         manifest = IndexManifest(
             num_rows=self.num_rows, dim=self.dim, dtype=self.dtype,
             normalized=self.normalized, categories=self.categories,
@@ -178,10 +187,13 @@ class DenseIndex:
         row_masks = None
         if (directory / "row_masks.npy").exists():
             row_masks = np.load(directory / "row_masks.npy")
+        chunk_ids = None
+        if (directory / "chunk_ids.json").exists():
+            chunk_ids = json.loads((directory / "chunk_ids.json").read_text())
         return cls(
             values=values, scales=scales, dtype=manifest.dtype,
             normalized=manifest.normalized, categories=manifest.categories,
-            row_masks=row_masks, model=manifest.model,
+            row_masks=row_masks, model=manifest.model, chunk_ids=chunk_ids,
         )
 
     # -- device placement --------------------------------------------------

@@ -273,6 +273,8 @@ class SearchEngine:
 
     # -- hydration ----------------------------------------------------------
 
+    _meta_by_id: dict = None
+
     def _load_meta(self):
         if self._meta_cache is None and self.corpus is not None:
             table = self.corpus.read_all(
@@ -281,21 +283,32 @@ class SearchEngine:
             self._meta_cache = {
                 name: table.column(name).to_pylist() for name in table.schema.names
             }
+            self._meta_by_id = {
+                cid: i for i, cid in enumerate(self._meta_cache["chunk_id"])
+            }
         return self._meta_cache
 
     def _hydrate(self, scores, rows) -> list[SearchResult]:
         meta = self._load_meta()
+        by_id = self._meta_by_id if meta is not None else None
         out = []
         for s, r in zip(scores.tolist(), rows.tolist()):
             if r < 0 or not np.isfinite(s):
                 continue
             res = SearchResult(row=int(r), score=float(s))
             if meta is not None:
-                res.chunk_id = meta["chunk_id"][r]
-                res.paper_id = meta["paper_id"][r]
-                res.category = meta["category"][r]
-                res.section = meta["section"][r]
-                res.page = int(meta["page"][r])
-                res.text = meta["text"][r]
+                # the index may cover a filtered subset of the corpus:
+                # map index row -> chunk_id -> corpus row when ids exist
+                cr = r
+                if self.index.chunk_ids is not None:
+                    res.chunk_id = self.index.chunk_ids[r]
+                    cr = by_id.get(res.chunk_id, -1)
+                if 0 <= cr < len(meta["chunk_id"]):
+                    res.chunk_id = meta["chunk_id"][cr]
+                    res.paper_id = meta["paper_id"][cr]
+                    res.category = meta["category"][cr]
+                    res.section = meta["section"][cr]
+                    res.page = int(meta["page"][cr])
+                    res.text = meta["text"][cr]
             out.append(res)
         return out

@@ -187,3 +187,43 @@ def test_large_k_routes_to_xla():
     vals, rows = engine.search_embeddings(embs[:2], k=200)
     assert vals.shape == (2, 200)
     assert (rows[:, :300] < 300).all()
+
+
+def test_hydration_with_filtered_index_rows():
+    """Index built over a quality-filtered subset must hydrate the
+    right chunks (index row != corpus row)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    n = 20
+    all_ids = [f"p#{i}" for i in range(n)]
+    kept = [i for i in range(n) if i % 3 != 0]  # simulate dropped rows
+
+    class FakeCorpus:
+        def read_all(self, columns=None):
+            return pa.table({
+                "chunk_id": all_ids,
+                "paper_id": [f"paper{i}" for i in range(n)],
+                "category": ["cs.LG"] * n,
+                "section": ["s"] * n,
+                "page": [1] * n,
+                "text": [f"text of corpus row {i}" for i in range(n)],
+            })
+
+    rng = np.random.default_rng(0)
+    embs = rng.standard_normal((len(kept), 8)).astype(np.float32)
+    idx = build_index(embs, dtype="float32", chunk_ids=[all_ids[i] for i in kept])
+
+    class FakeEmbedder:
+        def encode_texts(self, texts):
+            # query exactly equal to a kept row's embedding
+            return embs[:1] / np.linalg.norm(embs[:1])
+
+    engine = SearchEngine(idx, embedder=FakeEmbedder(), corpus=FakeCorpus(),
+                          use_pallas=False)
+    hits = engine.search(["q"], k=1)[0]
+    assert hits[0].chunk_id == all_ids[kept[0]]
+    assert hits[0].text == f"text of corpus row {kept[0]}"
