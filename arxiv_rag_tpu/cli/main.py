@@ -540,6 +540,38 @@ def cmd_search(args) -> int:
 
 
 
+
+def _add_status(sub) -> None:
+    p = sub.add_parser("status", help="pipeline progress + corpus summary")
+    p.add_argument("--corpus", required=True)
+
+
+def cmd_status(args) -> int:
+    from arxiv_rag_tpu.store.progress import ProgressDB
+
+    out = {}
+    db_path = Path(args.corpus) / "progress.db"
+    if db_path.exists():
+        with ProgressDB(db_path) as db:
+            out["chunk_stage"] = db.stats("chunk")
+    manifest = Path(args.corpus) / "corpus.json"
+    for name in ("corpus.json", "manifest.json"):
+        mp = Path(args.corpus) / name
+        if mp.exists():
+            m = json.loads(mp.read_text())
+            out["corpus"] = {
+                "num_rows": m.get("num_rows"),
+                "categories": m.get("categories"),
+                "shards": len(m.get("shards", [])),
+            }
+            break
+    papers = Path(args.corpus) / "papers.jsonl"
+    if papers.exists():
+        out["papers"] = sum(1 for _ in papers.open())
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def _add_train(sub) -> None:
     p = sub.add_parser("train", help="contrastive fine-tune of the encoder")
     p.add_argument("--corpus", required=True)
@@ -724,6 +756,7 @@ COMMANDS = {
     "embed": cmd_embed,
     "index": cmd_index,
     "search": cmd_search,
+    "status": cmd_status,
     "train": cmd_train,
     "serve": cmd_serve,
     "bench": cmd_bench,
@@ -734,7 +767,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="arag", description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="command", required=True)
     for adder in (_add_download, _add_dedup, _add_extract, _add_chunk, _add_repair, _add_augment,
-                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_train, _add_serve, _add_bench):
+                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_status, _add_train, _add_serve, _add_bench):
         adder(sub)
     return ap
 

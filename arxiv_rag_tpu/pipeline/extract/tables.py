@@ -109,6 +109,56 @@ def detect_tables(
 
 
 # ---------------------------------------------------------------------------
+# footnotes
+# ---------------------------------------------------------------------------
+
+_FOOTNOTE_MARK = None  # compiled lazily below
+
+
+def detect_footnotes(
+    spans: list[Span],
+    page_height: float = 792.0,
+    bottom_frac: float = 0.18,
+    size_ratio: float = 0.9,
+) -> list[dict]:
+    """Footnotes from span geometry: bottom-of-page lines set in a
+    smaller face, starting with a marker (digit, *, †).
+
+    Reference behavior: ``pdf_extractor.py:3149-3533`` (regex-driven);
+    here position + font size carry the signal.
+    """
+    import re
+
+    global _FOOTNOTE_MARK
+    if _FOOTNOTE_MARK is None:
+        _FOOTNOTE_MARK = re.compile(r"^\s*(\d{1,2}|[*†‡§¶])\s*\S")
+
+    body = [s for s in spans if s.text.strip()]
+    if len(body) < 5:
+        return []
+    sizes = sorted(s.size for s in body)
+    median_size = sizes[len(sizes) // 2]
+    cutoff_y = page_height * bottom_frac
+    small_low = [
+        s for s in body if s.y <= cutoff_y and s.size <= median_size * size_ratio
+    ]
+    if not small_low:
+        return []
+    out: list[dict] = []
+    for _, x, text in _assemble_lines_pub(small_low):
+        m = _FOOTNOTE_MARK.match(text)
+        if m and len(text) > 8:
+            out.append({"marker": m.group(1), "text": text.strip(), "x": x})
+    return out
+
+
+def _assemble_lines_pub(spans: list[Span]) -> list[tuple[float, float, str]]:
+    from .pdftext import _assemble_lines
+
+    return _assemble_lines(spans)
+
+
+# ---------------------------------------------------------------------------
 # adaptive chunking (layout → strategy)
 # ---------------------------------------------------------------------------
 

@@ -199,3 +199,14 @@ def test_cli_train_smoke(pdf_root, tmp_path, capsys):
 
     params, cfg = load_checkpoint(out_ckpt)
     assert cfg.hidden_size == 64
+
+
+def test_cli_status(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "c5"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    capsys.readouterr()
+    assert main(["status", "--corpus", str(corpus)]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["chunk_stage"].get("done") == 3
+    assert st["corpus"]["num_rows"] > 0
+    assert st["papers"] == 3

@@ -81,3 +81,31 @@ def test_extract_tables_bytes_end_to_end():
     out = extract_tables_bytes(table_pdf())
     assert len(out) == 1
     assert out[0]["page"] == 1 and out[0]["n_cols"] == 4
+
+
+def test_footnote_detection():
+    from pdfgen import make_pdf
+    from arxiv_rag_tpu.pipeline.extract.tables import detect_footnotes
+
+    # body at 10pt, footnotes at bottom in 8pt with markers
+    body = [(72, 700 - 12 * i, f"Body sentence {i} at regular size.") for i in range(12)]
+    content = content_stream_for_lines(body, size=10)
+    foot = content_stream_for_lines(
+        [(72, 80, "1 This is the first footnote with details."),
+         (72, 68, "2 Second footnote referencing the dataset.")],
+        size=8,
+    )
+    pdf = make_pdf([content + b"\n" + foot])
+    spans = spans_for(pdf)[0]
+    notes = detect_footnotes(spans)
+    assert len(notes) == 2
+    assert notes[0]["marker"] == "1"
+    assert "first footnote" in notes[0]["text"]
+
+
+def test_no_false_footnotes_in_plain_prose():
+    from arxiv_rag_tpu.pipeline.extract.tables import detect_footnotes
+
+    body = [(72, 700 - 12 * i, f"Uniform size line {i} with content.") for i in range(20)]
+    spans = spans_for(make_pdf([content_stream_for_lines(body, size=10)]))[0]
+    assert detect_footnotes(spans) == []
