@@ -483,33 +483,64 @@ def _assemble_lines(spans: list[Span]) -> list[tuple[float, float, str]]:
 
 
 def spans_to_text(spans: list[Span], page_width: float = 612.0) -> str:
-    """Assemble reading-order text: column split at the gutter first
-    (span level — before line grouping, so side-by-side columns don't
-    merge), then baseline line grouping, top-to-bottom order."""
+    """Assemble reading-order text with REGION-based column handling.
+
+    Real papers mix full-width regions (title, abstract, wide figures)
+    with two-column body text on the same page. Baselines are scanned
+    top→bottom; maximal runs of baselines where no span crosses the
+    mid-page gutter AND both halves carry text form a columnar region,
+    emitted left column first. Full-width baselines pass through in
+    order (reference multi-column pass: ``pdf_extractor.py:4271-4669``).
+    """
     if not spans:
         return ""
     spans = [s for s in spans if s.text.strip() or " " in s.text]
     if not spans:
         return ""
 
-    # column detection on span start-x distribution: a two-column page
-    # has a dense cluster near the left margin and another past the
-    # middle, with a gutter almost no span crosses.
     mid = page_width / 2.0
-    starts_left = [s for s in spans if s.x < mid * 0.9]
-    starts_right = [s for s in spans if s.x >= mid * 0.9]
-    crossers = sum(1 for s in starts_left if s.end_x > mid * 1.05 and len(s.text) > 4)
-    two_col = (
-        len(spans) >= 12
-        and len(starts_right) >= 0.25 * len(spans)
-        and len(starts_left) >= 0.25 * len(spans)
-        and crossers < 0.1 * len(starts_left)
-    )
-    if two_col:
-        assembled = _assemble_lines(starts_left) + _assemble_lines(starts_right)
-    else:
-        assembled = _assemble_lines(spans)
-    return "\n".join(l[2] for l in assembled)
+    # group spans into baselines (top→bottom)
+    groups: dict[float, list[Span]] = {}
+    for s in spans:
+        key = round(s.y / max(s.size * 0.45, 2.0))
+        groups.setdefault(key, []).append(s)
+    baselines = sorted(groups.values(), key=lambda g: -g[0].y)
+
+    def crosses(g: list[Span]) -> bool:
+        return any(
+            s.x < mid * 0.8 and s.end_x > mid * 1.1 and len(s.text) > 4 for s in g
+        )
+
+    out_lines: list[str] = []
+
+    def flush_region(region: list[list[Span]]) -> None:
+        if not region:
+            return
+        flat = [s for g in region for s in g]
+        left = [s for s in flat if s.x < mid * 0.9]
+        right = [s for s in flat if s.x >= mid * 0.9]
+        columnar = (
+            len(region) >= 4
+            and len(left) >= 2
+            and len(right) >= 2
+            and len(right) >= 0.2 * len(flat)
+        )
+        if columnar:
+            out_lines.extend(l[2] for l in _assemble_lines(left))
+            out_lines.extend(l[2] for l in _assemble_lines(right))
+        else:
+            out_lines.extend(l[2] for l in _assemble_lines(flat))
+
+    region: list[list[Span]] = []
+    for g in baselines:
+        if crosses(g):
+            flush_region(region)
+            region = []
+            out_lines.extend(l[2] for l in _assemble_lines(g))
+        else:
+            region.append(g)
+    flush_region(region)
+    return "\n".join(out_lines)
 
 
 def extract_page_text(doc: Document, page: dict) -> str:
