@@ -201,3 +201,24 @@ def test_semantic_fallback_to_fixed():
     cfg = ChunkerConfig(method="semantic")
     chunks = Chunker(cfg, sentence_encoder=None).chunk(LONG_TEXT)  # no encoder -> fallback
     assert chunks  # fell back to fixed without raising
+
+
+def test_chunker_golden_stability():
+    """Freeze fixed-chunker output on a fixed input (SURVEY §4a golden
+    strategy): silent behavior drift in boundaries/overlap fails here."""
+    import hashlib
+
+    cfg = ChunkerConfig(method="fixed", target_chars=400, min_chars=80,
+                        overlap_chars=100)
+    chunks = Chunker(cfg).chunk(LONG_TEXT)
+    fingerprint = hashlib.sha1(
+        "|".join(f"{c.start}:{c.end}" for c in chunks).encode()
+    ).hexdigest()[:16]
+    from _golden import get_json
+
+    golden = get_json("chunker_fixed_spans", lambda: {
+        "fingerprint": fingerprint, "n": len(chunks),
+        "first": chunks[0].text[:60], "last": chunks[-1].text[-60:],
+    })
+    assert golden["fingerprint"] == fingerprint
+    assert golden["n"] == len(chunks)
