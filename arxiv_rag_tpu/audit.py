@@ -31,6 +31,7 @@ from collections import Counter, defaultdict
 from dataclasses import dataclass, field
 from pathlib import Path
 
+from arxiv_rag_tpu.pipeline.extract.quality import EXPECTED_CHARS_PER_PAGE
 from arxiv_rag_tpu.store.corpus import CorpusReader
 
 _URL_ONLY = re.compile(r"^\s*(https?://\S+\s*)+$")
@@ -195,6 +196,60 @@ def audit_corpus(
     if not rep.recommendations:
         rep.recommendations.append("corpus is embedding-ready")
     return rep
+
+
+def audit_extractions(extracted_dir: str | Path) -> dict:
+    """Report over `arag extract` output JSONs (reference:
+    ``analyze_extraction_results.py`` — quality-score distribution,
+    per-method effectiveness, chars/page stats, recommendations)."""
+    root = Path(extracted_dir)
+    per_method: dict[str, list[float]] = defaultdict(list)
+    scores: list[float] = []
+    chars_per_page: list[float] = []
+    failed = 0
+    errors_file = root / "_extraction_errors.jsonl"
+    if errors_file.exists():
+        failed = sum(1 for _ in errors_file.open())
+    for path in root.rglob("*.json"):
+        if path.name.startswith("_"):
+            continue
+        try:
+            rec = json.loads(path.read_text())
+        except json.JSONDecodeError:
+            continue
+        if "quality_score" not in rec:
+            continue
+        q = float(rec["quality_score"])
+        scores.append(q)
+        per_method[rec.get("method_used", "?")].append(q)
+        pages = rec.get("pages") or []
+        if pages:
+            chars_per_page.append(len(rec.get("text", "")) / len(pages))
+    out = {
+        "documents": len(scores),
+        "failed": failed,
+        "quality": _dist(scores),
+        "chars_per_page": _dist(chars_per_page),
+        "by_method": {
+            m: {"count": len(v), "mean_quality": round(sum(v) / len(v), 4)}
+            for m, v in sorted(per_method.items())
+        },
+        "recommendations": [],
+    }
+    low = sum(1 for s in scores if s < 0.5)
+    if scores and low > 0.1 * len(scores):
+        out["recommendations"].append(
+            f"{low}/{len(scores)} documents under quality 0.5: inspect the "
+            "error ledger and consider OCR for scanned sources"
+        )
+    if chars_per_page and _dist(chars_per_page)["median"] < EXPECTED_CHARS_PER_PAGE * 0.4:
+        out["recommendations"].append(
+            "median chars/page well below the ~2500 expectation: extraction "
+            "may be dropping content"
+        )
+    if not out["recommendations"]:
+        out["recommendations"].append("extraction quality looks healthy")
+    return out
 
 
 def format_report(rep: AuditReport) -> str:

@@ -252,13 +252,29 @@ def cmd_augment(args) -> int:
 
 def _add_audit(sub) -> None:
     p = sub.add_parser("audit", help="corpus census + readiness report")
-    p.add_argument("--corpus", required=True)
+    p.add_argument("--corpus", default=None)
+    p.add_argument("--extractions", default=None,
+                   help="audit an `arag extract` output dir instead")
     p.add_argument("--json-out", default=None)
 
 
 def cmd_audit(args) -> int:
-    from arxiv_rag_tpu.audit import audit_corpus, format_report, save_report
+    from arxiv_rag_tpu.audit import (
+        audit_corpus,
+        audit_extractions,
+        format_report,
+        save_report,
+    )
 
+    if args.extractions:
+        rep = audit_extractions(args.extractions)
+        print(json.dumps(rep, indent=1))
+        if args.json_out:
+            Path(args.json_out).write_text(json.dumps(rep, indent=1))
+        return 0
+    if not args.corpus:
+        print("need --corpus or --extractions", file=sys.stderr)
+        return 2
     rep = audit_corpus(args.corpus)
     print(format_report(rep))
     if args.json_out:

@@ -210,3 +210,14 @@ def test_cli_status(pdf_root, tmp_path, capsys):
     assert st["chunk_stage"].get("done") == 3
     assert st["corpus"]["num_rows"] > 0
     assert st["papers"] == 3
+
+
+def test_cli_audit_extractions(pdf_root, tmp_path, capsys):
+    out = tmp_path / "ex"
+    main(["extract", "--pdfs", str(pdf_root), "--out", str(out)])
+    capsys.readouterr()
+    assert main(["audit", "--extractions", str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["documents"] == 3
+    assert rep["by_method"]
+    assert rep["quality"]["count"] == 3
