@@ -62,7 +62,7 @@ class Embedder:
         tokenizer: WordPieceTokenizer,
         *,
         buckets: Sequence[int] = (64, 128, 256, 384),
-        batch_size: int = 256,
+        batch_size: int = 512,
         compute_dtype: jnp.dtype = jnp.bfloat16,
         normalize: bool = True,
         mesh=None,

@@ -17,7 +17,7 @@ Protocol notes (sized for a tunneled single chip + 1-core host):
   so QPS ∝ 1/rows; the scaling is reported, not hidden).
 
 Extra fields report recall@10 and encoder throughput (chunks/sec/chip
-on the full-size all-mpnet-base-v2 forward, bf16, batch 256×seq128).
+on the full-size all-mpnet-base-v2 forward, bf16, batch 512×seq128).
 
 Env knobs: ARAG_BENCH_ROWS (default 2_000_000 on TPU), ARAG_BENCH_CPU_ROWS
 (default 200_000), ARAG_BENCH_SKIP_ENCODER=1.
@@ -229,7 +229,7 @@ def main() -> None:
     if os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1" and not past_deadline("encoder"):
         cfg = ModelConfig()
         params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-        enc_batch, seq = (256, 128) if on_tpu else (16, 64)
+        enc_batch, seq = (512, 128) if on_tpu else (16, 64)
         ids_in = jnp.asarray(
             np.random.default_rng(1).integers(4, cfg.vocab_size, (enc_batch, seq)),
             jnp.int32,
