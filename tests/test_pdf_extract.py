@@ -199,3 +199,28 @@ def test_extractor_rejects_garbage():
     res = PDFExtractor().extract_bytes(b"not a pdf")
     assert not res.success
     assert res.error and "parse" in res.error
+
+
+def test_third_party_writer_matplotlib():
+    """Cross-validation against an independent PDF producer: matplotlib's
+    PDF backend (embedded Type-1 fonts, compressed streams, its own
+    xref layout) — not our test generator."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("pdf")
+    import io
+
+    import matplotlib.pyplot as plt
+
+    buf = io.BytesIO()
+    fig = plt.figure(figsize=(8.5, 11))
+    fig.text(0.1, 0.9, "Matplotlib Generated Document Title", size=14)
+    fig.text(0.1, 0.8, "First body paragraph written by an external producer.", size=10)
+    fig.text(0.1, 0.75, "Second line with digits 0123456789 and (punct).", size=10)
+    fig.savefig(buf, format="pdf")
+    plt.close(fig)
+
+    pages = extract_text(open_pdf(buf.getvalue()))
+    assert len(pages) == 1
+    assert "Matplotlib Generated Document Title" in pages[0]
+    assert "First body paragraph written by an external producer." in pages[0]
+    assert "0123456789" in pages[0]
