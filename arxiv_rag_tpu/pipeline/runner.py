@@ -139,6 +139,9 @@ def process_paper(
     smap = extract_sections(text, cleaned_pages)
     md = extract_metadata(text)
     citations = extract_citations(text, smap)
+    from arxiv_rag_tpu.pipeline.crossref import extract_crossrefs
+
+    crossrefs = extract_crossrefs(text, smap)
     chunks = chunker.chunk(text)
     quality = score_text(text, num_pages=max(1, len(pages))).score
 
@@ -167,6 +170,8 @@ def process_paper(
         "arxiv_id": md.arxiv_id,
         "num_citations": len(citations),
         "num_sections": len(smap.sections),
+        "num_crossrefs": len(crossrefs.refs),
+        "crossrefs_resolved": crossrefs.resolved_count,
         "method_used": ext.method_used,
         "quality_score": quality,
         "num_pages": len(pages),

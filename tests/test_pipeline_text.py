@@ -222,3 +222,36 @@ def test_chunker_golden_stability():
     })
     assert golden["fingerprint"] == fingerprint
     assert golden["n"] == len(chunks)
+
+
+def test_crossref_resolution():
+    from arxiv_rag_tpu.pipeline.crossref import extract_crossrefs
+
+    text = (
+        "1 Introduction\n"
+        "We outline the approach. Details are in Section 2 and results in "
+        "Figure 1. See also Table 2 and Equation (3).\n"
+        "2 Method\n"
+        "The method uses a fused kernel.\n"
+        "Figure 1: Architecture diagram of the system.\n"
+        "Table 2: Benchmark results across systems.\n"
+        "As shown in Fig. 1, the pipeline has three stages. "
+        "Section 9 does not exist.\n"
+    )
+    smap = extract_sections(text)
+    table = extract_crossrefs(text, smap)
+    kinds = table.by_kind()
+    assert kinds["section"] >= 2
+    assert kinds["figure"] >= 2
+    sec2 = next(r for r in table.refs if r.kind == "section" and r.label == "2")
+    assert sec2.resolved
+    assert text[sec2.target_offset:].startswith("2 Method")
+    fig1 = next(r for r in table.refs if r.kind == "figure" and r.label == "1")
+    assert fig1.resolved
+    assert text[fig1.target_offset:].startswith("Figure 1:")
+    # abbreviated mention also resolves
+    figab = [r for r in table.refs if r.kind == "figure"]
+    assert all(r.resolved for r in figab)
+    ghost = next(r for r in table.refs if r.label == "9")
+    assert not ghost.resolved
+    assert table.resolved_count >= 4
