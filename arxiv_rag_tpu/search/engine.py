@@ -81,6 +81,13 @@ class SearchEngine:
         k = k or self.cfg.top_k
         idx = self.index
         q = jnp.asarray(query_embs, jnp.float32)
+        # pad the query batch to a small set of fixed shapes: every new
+        # Q recompiles the kernel, and remote compiles on this pool cost
+        # minutes — shape discipline applies to queries too
+        qn_real = q.shape[0]
+        qn_pad = self._query_bucket(qn_real)
+        if qn_pad != qn_real:
+            q = jnp.pad(q, ((0, qn_pad - qn_real), (0, 0)))
         n_valid = idx._n_valid
         # the fused kernel's VMEM scratch holds <=128 candidates/query;
         # larger k (e.g. deep rerank pools) routes to the XLA path
@@ -106,7 +113,15 @@ class SearchEngine:
                     vals, rows = fused_topk(idx._device_values, q, k, n_valid=n_valid)
                 else:
                     vals, rows = self._xla_plain(q, k)
-        return np.asarray(vals), np.asarray(rows)
+        return np.asarray(vals)[:qn_real], np.asarray(rows)[:qn_real]
+
+    @staticmethod
+    def _query_bucket(qn: int) -> int:
+        for b in (8, 32, 128):
+            if qn <= b:
+                return b
+        # beyond the largest bucket, round up to a multiple of 128
+        return ((qn + 127) // 128) * 128
 
     def _qmask(self, categories: Sequence[str] | None, qn: int) -> jnp.ndarray:
         bits = self.index.category_mask(categories)

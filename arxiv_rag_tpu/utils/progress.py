@@ -53,14 +53,16 @@ class ProgressReporter:
         total: int,
         every: int = 50,
         sink: str = "console",  # console | json | none
-        stream: TextIO = sys.stderr,
+        stream: TextIO | None = None,
         callback: Callable[[ProgressState], None] | None = None,
         phase: str = "",
     ) -> None:
         self.state = ProgressState(total=total, phase=phase)
         self.every = max(1, every)
         self.sink = sink
-        self.stream = stream
+        # None = resolve sys.stderr at emit time (a captured/default
+        # stream bound at import can be closed by the time we write)
+        self._stream = stream
         self.callback = callback
 
     def update(self, n: int = 1, failed: int = 0) -> None:
@@ -69,19 +71,26 @@ class ProgressReporter:
         if (self.state.done + self.state.failed) % self.every == 0:
             self.emit()
 
+    @property
+    def stream(self) -> TextIO:
+        return self._stream if self._stream is not None else sys.stderr
+
     def emit(self) -> None:
         if self.callback:
             self.callback(self.state)
-        if self.sink == "json":
-            self.stream.write(json.dumps(self.state.to_dict()) + "\n")
-        elif self.sink == "console":
-            s = self.state
-            eta = f"{s.eta_seconds:.0f}s" if s.rate > 0 else "?"
-            self.stream.write(
-                f"[{s.phase or 'progress'}] {s.done}/{s.total} "
-                f"({s.failed} failed) {s.rate:.2f}/s ETA {eta}\n"
-            )
-        self.stream.flush()
+        try:
+            if self.sink == "json":
+                self.stream.write(json.dumps(self.state.to_dict()) + "\n")
+            elif self.sink == "console":
+                s = self.state
+                eta = f"{s.eta_seconds:.0f}s" if s.rate > 0 else "?"
+                self.stream.write(
+                    f"[{s.phase or 'progress'}] {s.done}/{s.total} "
+                    f"({s.failed} failed) {s.rate:.2f}/s ETA {eta}\n"
+                )
+            self.stream.flush()
+        except ValueError:  # stream closed under us — progress is advisory
+            pass
 
     def finish(self) -> ProgressState:
         self.emit()
@@ -90,6 +99,6 @@ class ProgressReporter:
     def new_phase(self, phase: str, total: int) -> "ProgressReporter":
         """Phased batch reporting (BatchProgressReporter semantics)."""
         return ProgressReporter(
-            total, every=self.every, sink=self.sink, stream=self.stream,
+            total, every=self.every, sink=self.sink, stream=self._stream,
             callback=self.callback, phase=phase,
         )

@@ -227,3 +227,27 @@ def test_hydration_with_filtered_index_rows():
     hits = engine.search(["q"], k=1)[0]
     assert hits[0].chunk_id == all_ids[kept[0]]
     assert hits[0].text == f"text of corpus row {kept[0]}"
+
+
+def test_query_batch_bucketing_consistency():
+    """Padded query buckets (compile-shape discipline) must not change
+    results; odd batch sizes slice back exactly."""
+    import numpy as np
+
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(2)
+    embs = rng.standard_normal((100, 16)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    idx = build_index(embs, dtype="float32")
+    engine = SearchEngine(idx, use_pallas=False)
+    assert engine._query_bucket(1) == 8
+    assert engine._query_bucket(33) == 128
+    assert engine._query_bucket(200) == 256
+    for qn in (1, 3, 8, 9):
+        q = embs[:qn]
+        vals, rows = engine.search_embeddings(q, k=4)
+        assert vals.shape == (qn, 4) and rows.shape == (qn, 4)
+        # self-match: each query's own row is its top hit
+        assert (rows[:, 0] == np.arange(qn)).all()
