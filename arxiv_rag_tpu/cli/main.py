@@ -600,6 +600,10 @@ def _add_train(sub) -> None:
     p.add_argument("--seq-len", type=int, default=128)
     p.add_argument("--max-pairs", type=int, default=50000)
     p.add_argument("--shard-batches", action="store_true")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="orbax TrainState snapshot every N steps (0=off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest snapshot under --out/state")
     p.add_argument("--small-model", action="store_true",
                    help="tiny ModelConfig for smoke runs")
 
@@ -674,6 +678,14 @@ def cmd_train(args) -> int:
         compute_dtype=jnp.bfloat16 if not args.small_model else jnp.float32,
     )
     state = init_state(params)
+    state_dir = Path(args.out) / "state"
+    if args.resume:
+        from arxiv_rag_tpu.train.checkpoint import restore_train_state
+
+        restored = restore_train_state(state_dir, state)
+        if restored is not None:
+            state = restored
+            print(f"resumed at step {int(state.step)}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     order = rng.permutation(len(pairs))
@@ -695,6 +707,10 @@ def cmd_train(args) -> int:
         if (step + 1) % 10 == 0:
             print(f"step {step+1}/{args.steps} loss={losses[-1]:.4f} "
                   f"acc={float(metrics['in_batch_acc']):.3f}", file=sys.stderr)
+        if args.checkpoint_every and (step + 1) % args.checkpoint_every == 0:
+            from arxiv_rag_tpu.train.checkpoint import save_train_state
+
+            save_train_state(state_dir, state)
 
     save_checkpoint(args.out, jax.device_get(state.params), mcfg)
     if vocab_path and Path(vocab_path).exists():

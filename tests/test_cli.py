@@ -221,3 +221,19 @@ def test_cli_audit_extractions(pdf_root, tmp_path, capsys):
     assert rep["documents"] == 3
     assert rep["by_method"]
     assert rep["quality"]["count"] == 3
+
+
+def test_cli_train_resume(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "c6"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    capsys.readouterr()
+    out_ckpt = tmp_path / "ck6"
+    args = ["train", "--corpus", str(corpus), "--out", str(out_ckpt),
+            "--steps", "4", "--batch-size", "4", "--seq-len", "24",
+            "--small-model", "--checkpoint-every", "2"]
+    assert main(args) == 0
+    capsys.readouterr()
+    assert (out_ckpt / "state" / "step_00000004").exists()
+    assert main(args + ["--resume"]) == 0
+    # resumed run continues from step 4 -> ends at step 8
+    assert (out_ckpt / "state" / "step_00000008").exists()

@@ -77,3 +77,42 @@ def test_train_step_sharded_matches_single():
     l2 = jax.tree.leaves(s2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    from arxiv_rag_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+
+    rng = np.random.default_rng(3)
+    init_state, step = make_train_step(CFG, learning_rate=3e-4,
+                                       compute_dtype=jnp.float32)
+    state = init_state(init_params(jax.random.PRNGKey(0), CFG))
+    batch = toy_batch(rng)
+    for _ in range(3):
+        state, m = step(state, *batch)
+    save_train_state(tmp_path / "ck", state)
+    for _ in range(2):
+        state, m = step(state, *batch)
+    save_train_state(tmp_path / "ck", state)
+    assert latest_checkpoint(tmp_path / "ck").name == "step_00000005"
+
+    template = init_state(init_params(jax.random.PRNGKey(9), CFG))
+    restored = restore_train_state(tmp_path / "ck", template)
+    assert int(restored.step) == 5
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # resumed training continues bit-identically
+    s1, m1 = step(restored, *batch)
+    s2, m2 = step(state, *batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-7)
+
+
+def test_restore_missing_returns_none(tmp_path):
+    from arxiv_rag_tpu.train.checkpoint import restore_train_state
+
+    init_state, _ = make_train_step(CFG, compute_dtype=jnp.float32)
+    template = init_state(init_params(jax.random.PRNGKey(0), CFG))
+    assert restore_train_state(tmp_path / "nope", template) is None
