@@ -202,28 +202,42 @@ def _attention(
     bias: jnp.ndarray,
     mask_bias: jnp.ndarray,
     cfg: ModelConfig,
+    fused: bool = False,
 ) -> jnp.ndarray:
     b, s, h = x.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
 
-    def split_heads(t: jnp.ndarray) -> jnp.ndarray:
-        return t.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    if fused:
+        # XLA's fused attention path (jax.nn.dot_product_attention):
+        # avoids materializing [B,H,S,S] scores in HBM. Layout BTNH.
+        q = _dense(x, p["q"]).reshape(b, s, nh, hd)
+        k = _dense(x, p["k"]).reshape(b, s, nh, hd)
+        v = _dense(x, p["v"]).reshape(b, s, nh, hd)
+        full_bias = (bias + mask_bias).astype(jnp.float32)  # [B,H,S,S]
+        ctx = jax.nn.dot_product_attention(
+            q, k, v, bias=full_bias, scale=1.0 / math.sqrt(hd),
+            implementation="xla",
+        )
+        ctx = ctx.reshape(b, s, h)
+    else:
+        def split_heads(t: jnp.ndarray) -> jnp.ndarray:
+            return t.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
-    q = split_heads(_dense(x, p["q"]))
-    k = split_heads(_dense(x, p["k"]))
-    v = split_heads(_dense(x, p["v"]))
+        q = split_heads(_dense(x, p["q"]))
+        k = split_heads(_dense(x, p["k"]))
+        v = split_heads(_dense(x, p["v"]))
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k,
-        preferred_element_type=jnp.float32, precision=_precision(x.dtype),
-    )
-    scores = scores / math.sqrt(hd) + bias + mask_bias
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs, v,
-        preferred_element_type=jnp.float32, precision=_precision(x.dtype),
-    )
-    ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, s, h)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k,
+            preferred_element_type=jnp.float32, precision=_precision(x.dtype),
+        )
+        scores = scores / math.sqrt(hd) + bias + mask_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v,
+            preferred_element_type=jnp.float32, precision=_precision(x.dtype),
+        )
+        ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, s, h)
     out = _dense(ctx, p["o"])
     return _layer_norm(out + x, p["ln"], cfg.layer_norm_eps)
 
@@ -248,6 +262,7 @@ def forward(
     attention_mask: jnp.ndarray,
     cfg: ModelConfig,
     compute_dtype: jnp.dtype = jnp.float32,
+    fused_attention: bool = False,
 ) -> jnp.ndarray:
     """Token-level hidden states [batch, seq, hidden] in fp32."""
     seq_len = input_ids.shape[1]
@@ -264,7 +279,7 @@ def forward(
     ).min
 
     def layer_step(h: jnp.ndarray, layer_p: MPNetParams) -> tuple[jnp.ndarray, None]:
-        h = _attention(h, layer_p["attn"], bias, mask_bias, cfg)
+        h = _attention(h, layer_p["attn"], bias, mask_bias, cfg, fused=fused_attention)
         h = _ffn(h, layer_p["ffn"], cfg)
         return h, None
 
@@ -296,7 +311,9 @@ def encode(
     cfg: ModelConfig,
     compute_dtype: jnp.dtype = jnp.float32,
     normalize: bool = True,
+    fused_attention: bool = False,
 ) -> jnp.ndarray:
     """Sentence embeddings [batch, hidden] in fp32 (L2-normalized)."""
-    hidden = forward(params, input_ids, attention_mask, cfg, compute_dtype)
+    hidden = forward(params, input_ids, attention_mask, cfg, compute_dtype,
+                     fused_attention=fused_attention)
     return mean_pool(hidden, attention_mask, normalize)

@@ -175,3 +175,15 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert cfg2 == cfg
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_attention_matches_einsum():
+    """jax.nn.dot_product_attention path == explicit einsum path."""
+    params = init_params(jax.random.PRNGKey(3), SMALL)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(4, SMALL.vocab_size, (3, 17)), jnp.int32)
+    mask = jnp.ones((3, 17), jnp.int32)
+    mask = mask.at[1, 12:].set(0)
+    a = forward(params, ids, mask, SMALL, fused_attention=False)
+    b = forward(params, ids, mask, SMALL, fused_attention=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
