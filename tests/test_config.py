@@ -58,3 +58,15 @@ def test_unknown_key_rejected(tmp_path):
 def test_paths_resolve():
     cfg = Config()
     assert str(cfg.paths.resolve("pdf_dir")) == "data/pdfs"
+
+
+def test_default_yaml_round_trips():
+    from pathlib import Path
+
+    from arxiv_rag_tpu.config import load_config
+
+    path = Path(__file__).parent.parent / "configs" / "default.yaml"
+    cfg = load_config(path, environ={})
+    assert cfg.embedding.model == "sentence-transformers/all-mpnet-base-v2"
+    assert cfg.retrieval.hybrid_alpha == 0.7
+    assert cfg == load_config(environ={})  # defaults in code == shipped yaml
