@@ -407,12 +407,14 @@ def _add_index(sub) -> None:
     p.add_argument("--corpus", default=None, help="corpus dir (for category masks)")
     p.add_argument("--out", required=True)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32", "int8"])
+    p.add_argument("--device-build", action="store_true",
+                   help="normalize/quantize on the TPU (fast for multi-M rows)")
 
 
 def cmd_index(args) -> int:
     import numpy as np
 
-    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.index.store import build_index, build_index_device
 
     src = Path(args.embeddings)
     manifest = json.loads((src / "index.json").read_text())
@@ -432,7 +434,8 @@ def cmd_index(args) -> int:
                 cat_of[row["chunk_id"]] = row["category"]
         categories = [cat_of.get(cid, "") for cid in ids]
 
-    idx = build_index(embs, categories=categories, dtype=args.dtype, chunk_ids=ids)
+    builder = build_index_device if args.device_build else build_index
+    idx = builder(embs, categories=categories, dtype=args.dtype, chunk_ids=ids)
     idx.model = manifest.get("model", "")
     idx.save(args.out)  # writes chunk_ids.json from idx.chunk_ids
     print(json.dumps({"rows": idx.num_rows, "dim": idx.dim, "dtype": idx.dtype,

@@ -99,6 +99,71 @@ def build_index(
     )
 
 
+def build_index_device(
+    embeddings,
+    categories: Sequence[str] | None = None,
+    category_names: Sequence[str] | None = None,
+    dtype: str = "bfloat16",
+    normalize: bool = True,
+    chunk_ids: Sequence[str] | None = None,
+    batch_rows: int = 262144,
+) -> "DenseIndex":
+    """Index build as a TPU pass (SURVEY §7 step 3): L2-normalize and
+    (optionally) int8-quantize on device in row batches — the
+    multi-million-row builds the 1-core host would crawl through.
+
+    ``embeddings`` may be a numpy array or a jax array already on
+    device. Output matches ``build_index`` bit-for-bit up to fp rounding
+    differences between XLA and numpy (tested).
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("do_norm",))
+    def _normalize(x, do_norm):
+        x = x.astype(jnp.float32)
+        if do_norm:
+            x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return x
+
+    @jax.jit
+    def _quant(x):
+        return quantize_int8(x)
+
+    n = embeddings.shape[0]
+    out_vals = []
+    out_scales = []
+    for start in range(0, n, batch_rows):
+        chunk = jnp.asarray(embeddings[start : start + batch_rows])
+        norm = _normalize(chunk, normalize)
+        if dtype == "int8":
+            v, s = _quant(norm)
+            out_vals.append(np.asarray(v))
+            out_scales.append(np.asarray(s))
+        elif dtype == "bfloat16":
+            out_vals.append(np.asarray(norm.astype(jnp.bfloat16)))
+        else:
+            out_vals.append(np.asarray(norm))
+    values = (
+        np.concatenate(out_vals)
+        if out_vals
+        else np.zeros((0, embeddings.shape[1]), np.float32)
+    )
+    scales = np.concatenate(out_scales) if out_scales else None
+
+    if categories is not None:
+        from arxiv_rag_tpu.ops.topk import make_row_masks
+
+        cats = list(category_names) if category_names else sorted(set(categories))
+        row_masks = make_row_masks(np.asarray(categories, object), cats)
+    else:
+        cats, row_masks = [], None
+    return DenseIndex(
+        values=values, scales=scales, dtype=dtype, normalized=normalize,
+        categories=cats, row_masks=row_masks,
+        chunk_ids=list(chunk_ids) if chunk_ids is not None else None,
+    )
+
+
 @dataclass
 class DenseIndex:
     values: np.ndarray  # [N, D] float32/bfloat16/int8

@@ -152,3 +152,24 @@ def test_int8_search_padding_rows_excluded():
     q = -np.asarray(emb[:1])
     v, r = int8_search(vals8, scales, jnp.asarray(q), k=5)
     assert (np.asarray(r) < 20).all()  # no padding rows in results
+
+
+def test_device_build_matches_host_build():
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.index.store import build_index, build_index_device
+
+    rng = np.random.default_rng(4)
+    embs = rng.standard_normal((300, 32)).astype(np.float32) * 3.0
+    cats = ["cs.LG" if i % 2 else "cs.AI" for i in range(300)]
+    for dtype in ("float32", "bfloat16", "int8"):
+        host = build_index(embs, categories=cats, dtype=dtype)
+        dev = build_index_device(embs, categories=cats, dtype=dtype, batch_rows=128)
+        assert dev.dtype == host.dtype and dev.num_rows == host.num_rows
+        np.testing.assert_array_equal(dev.row_masks, host.row_masks)
+        hv = np.asarray(jnp.asarray(host.values, jnp.float32))
+        dv = np.asarray(jnp.asarray(dev.values, jnp.float32))
+        atol = 2e-2 if dtype != "float32" else 2e-6
+        np.testing.assert_allclose(dv, hv, atol=atol)
+        if dtype == "int8":
+            np.testing.assert_allclose(dev.scales, host.scales, rtol=1e-5)
