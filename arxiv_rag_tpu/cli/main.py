@@ -460,6 +460,8 @@ def _add_search(sub) -> None:
                    help="BERT cross-encoder checkpoint dir; enables reranking")
     p.add_argument("--rerank-random-init", action="store_true",
                    help="random cross-encoder (smoke runs)")
+    p.add_argument("--shard", action="store_true",
+                   help="row-shard the index over the device mesh")
 
 
 def _build_engine(args):
@@ -480,6 +482,11 @@ def _build_engine(args):
     from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
 
     idx = DenseIndex.load(args.index)
+    if getattr(args, "shard", False):
+        from arxiv_rag_tpu.parallel import data_mesh, init_distributed
+
+        init_distributed()
+        idx.to_device(mesh=data_mesh())
     if args.checkpoint:
         params, mcfg = load_checkpoint(args.checkpoint)
         vocab_path = args.vocab or str(Path(args.checkpoint) / "vocab.txt")
@@ -735,6 +742,8 @@ def _add_serve(sub) -> None:
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--shard", action="store_true",
+                   help="row-shard the index over the device mesh")
 
 
 def cmd_serve(args) -> int:

@@ -237,3 +237,20 @@ def test_cli_train_resume(pdf_root, tmp_path, capsys):
     assert main(args + ["--resume"]) == 0
     # resumed run continues from step 4 -> ends at step 8
     assert (out_ckpt / "state" / "step_00000008").exists()
+
+
+def test_cli_search_sharded(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "c7"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    emb = tmp_path / "e7"
+    main(["embed", "--corpus", str(corpus), "--out", str(emb),
+          "--random-init", "--batch-size", "8", "--min-quality", "0.0"])
+    idx = tmp_path / "i7"
+    main(["index", "--embeddings", str(emb), "--corpus", str(corpus),
+          "--out", str(idx), "--dtype", "float32", "--device-build"])
+    capsys.readouterr()
+    assert main(["search", "--index", str(idx), "--corpus", str(corpus),
+                 "--query", "retrieval", "--k", "3", "--random-init",
+                 "--shard"]) == 0
+    out = capsys.readouterr().out
+    assert "row=" in out
