@@ -24,8 +24,9 @@ from jax.experimental.shard_map import shard_map
 from arxiv_rag_tpu.parallel.mesh import DATA_AXIS
 
 
-def _local_scan_xla(shard, queries, row_offset, n_valid, k):
-    """Per-shard exact scan with padding-row masking (XLA path)."""
+def _local_scan_xla(shard, queries, row_offset, n_valid, k,
+                    row_masks=None, query_mask=None):
+    """Per-shard exact scan with padding-row + category masking (XLA)."""
     from arxiv_rag_tpu.ops.topk import matmul_precision
 
     scores = jnp.dot(
@@ -36,9 +37,18 @@ def _local_scan_xla(shard, queries, row_offset, n_valid, k):
     )
     n_rows = shard.shape[0]
     gids = row_offset + jnp.arange(n_rows, dtype=jnp.int32)
-    scores = jnp.where((gids < n_valid)[None, :], scores, -jnp.inf)
-    vals, ids = jax.lax.top_k(scores, k)
-    return vals, gids[ids]
+    valid = (gids < n_valid)[None, :]
+    if row_masks is not None and query_mask is not None:
+        eligible = (row_masks[None, :] & query_mask[:, None]) != 0
+        valid = jnp.logical_and(valid, eligible)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    vals, ids = jax.lax.top_k(scores, min(k, n_rows))
+    if k > n_rows:
+        pad = ((0, 0), (0, k - n_rows))
+        vals = jnp.pad(vals, pad, constant_values=-jnp.inf)
+        ids = jnp.pad(ids, pad, constant_values=0)
+    out_ids = jnp.where(jnp.isfinite(vals), gids[ids], -1)
+    return vals, out_ids
 
 
 def sharded_topk(
@@ -51,9 +61,17 @@ def sharded_topk(
     axis_name: str = DATA_AXIS,
     use_pallas: bool | None = None,
     block_rows: int = 4096,
+    row_masks: jax.Array | None = None,
+    query_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded index. Returns replicated
-    (values [Q,k], global ids [Q,k])."""
+    (values [Q,k], global ids [Q,k]).
+
+    ``row_masks`` ([N] int32 bitmask, row-sharded like the index) with
+    ``query_mask`` ([Q] int32, replicated) enables per-category
+    filtering on the sharded path (XLA scan; the fused masked kernel
+    inside shard_map is a later optimization).
+    """
     total_rows = index_sharded.shape[0]
     if n_valid is None:
         n_valid = total_rows
@@ -62,7 +80,11 @@ def sharded_topk(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    def local(shard, q):
+    masked = row_masks is not None and query_mask is not None
+    if masked:
+        use_pallas = False  # masked sharded path: XLA scan
+
+    def local(shard, q, *mask_args):
         me = jax.lax.axis_index(axis_name)
         offset = (me * shard_rows).astype(jnp.int32)
         if use_pallas:
@@ -71,7 +93,10 @@ def sharded_topk(
             vals, ids = _pallas_local(shard, q, k, local_valid, block_rows)
             gids = jnp.where(ids >= 0, ids + offset, -1)
         else:
-            vals, gids = _local_scan_xla(shard, q, offset, n_valid, k)
+            rm = mask_args[0] if mask_args else None
+            qm = mask_args[1] if mask_args else None
+            vals, gids = _local_scan_xla(shard, q, offset, n_valid, k,
+                                         row_masks=rm, query_mask=qm)
 
         # ---- ICI candidate exchange + lossless merge ----
         all_vals = jax.lax.all_gather(vals, axis_name)  # [nd, Q, k]
@@ -83,6 +108,15 @@ def sharded_topk(
         mgids = jnp.take_along_axis(cand_gids, mpos, axis=1)
         return mvals, mgids
 
+    if masked:
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(), P(axis_name), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return fn(index_sharded, queries, row_masks, query_mask)
     fn = shard_map(
         local,
         mesh=mesh,

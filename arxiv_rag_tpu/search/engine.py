@@ -94,17 +94,22 @@ class SearchEngine:
         use_pallas = self.use_pallas and k <= 128
         with METRICS.timer("search.dense"):
             if idx._mesh is not None:
-                if categories is not None:
-                    raise NotImplementedError(
-                        "category filtering on a mesh-sharded index is not "
-                        "implemented yet; use a single-chip index or filter "
-                        "post-hoc with a larger k"
-                    )
                 from arxiv_rag_tpu.parallel.search import sharded_topk
 
+                mask_kw = {}
+                if categories is not None:
+                    if idx._device_masks is None:
+                        raise ValueError(
+                            "category filter requested but index was built "
+                            "without categories"
+                        )
+                    mask_kw = {
+                        "row_masks": idx._device_masks,
+                        "query_mask": self._qmask(categories, q.shape[0]),
+                    }
                 vals, rows = sharded_topk(
                     idx._device_values, q, k, idx._mesh,
-                    n_valid=n_valid, use_pallas=use_pallas,
+                    n_valid=n_valid, use_pallas=use_pallas, **mask_kw,
                 )
             elif categories is not None or idx.dtype == "int8":
                 vals, rows = self._single_chip(q, k, categories, use_pallas)

@@ -156,9 +156,10 @@ def test_bm25_standalone():
         np.testing.assert_array_equal(rows, r2)
 
 
-def test_mesh_index_rejects_category_filter():
+def test_mesh_index_category_filter():
+    """Category filtering on the mesh-sharded index: only eligible
+    categories come back, parity with the single-chip masked path."""
     import numpy as np
-    import pytest as _pytest
 
     from arxiv_rag_tpu.index.store import build_index
     from arxiv_rag_tpu.parallel import data_mesh
@@ -166,12 +167,18 @@ def test_mesh_index_rejects_category_filter():
 
     rng = np.random.default_rng(0)
     embs = rng.standard_normal((64, 16)).astype(np.float32)
-    idx = build_index(embs, categories=["cs.LG"] * 64, dtype="float32")
-    idx.to_device(mesh=data_mesh(4))
-    engine = SearchEngine(idx, use_pallas=False)
-    q = embs[:2]
-    with _pytest.raises(NotImplementedError):
-        engine.search_embeddings(q, k=5, categories=["cs.LG"])
+    cats = ["cs.LG" if i % 2 else "cs.AI" for i in range(64)]
+    idx1 = build_index(embs, categories=cats, dtype="float32")
+    idx2 = build_index(embs, categories=cats, dtype="float32")
+    idx2.to_device(mesh=data_mesh(4))
+    single = SearchEngine(idx1, use_pallas=False)
+    meshed = SearchEngine(idx2, use_pallas=False)
+    q = embs[:3] / np.linalg.norm(embs[:3], axis=1, keepdims=True)
+    v1, r1 = single.search_embeddings(q, k=5, categories=["cs.LG"])
+    v2, r2 = meshed.search_embeddings(q, k=5, categories=["cs.LG"])
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(v1, v2, atol=1e-5)
+    assert (np.asarray(r1) % 2 == 1).all()  # only cs.LG rows
 
 
 def test_large_k_routes_to_xla():

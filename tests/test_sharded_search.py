@@ -84,3 +84,33 @@ def test_distributed_helpers_single_process():
     assert mesh.devices.size == len(jax.devices())
     items = list(range(10))
     assert host_shard(items) == items  # single process owns everything
+
+
+def test_sharded_masked_matches_masked_oracle(data):
+    """Category filtering on the sharded path == masked numpy oracle."""
+    index, queries = data
+    rng = np.random.default_rng(3)
+    categories = rng.integers(0, 3, N)  # 3 pseudo-categories
+    row_masks = (1 << categories).astype(np.int32)
+    want = 0b01  # category 0 only
+    mesh = data_mesh(8)
+    sharded, n_valid = shard_index_rows(index, mesh)
+    rm_sharded, _ = shard_index_rows(row_masks.reshape(-1, 1), mesh)
+    rm_sharded = rm_sharded.reshape(-1)
+    qmask = jnp.full((Q,), want, jnp.int32)
+    vals, gids = sharded_topk(
+        sharded, jnp.asarray(queries), K, mesh, n_valid=n_valid,
+        row_masks=rm_sharded, query_mask=qmask,
+    )
+    # oracle: numpy scan restricted to eligible rows
+    eligible = (row_masks & want) != 0
+    sub = index[eligible]
+    sub_ids = np.nonzero(eligible)[0]
+    ov, oi_local = cosine_topk_numpy(sub, queries, K)
+    oi = sub_ids[oi_local]
+    rec = recall_at_k(np.asarray(gids), oi, ov,
+                      candidate_scores=np.asarray(vals, np.float32))
+    assert rec == 1.0
+    # every returned id is eligible
+    got = np.asarray(gids)
+    assert ((row_masks[got] & want) != 0)[got >= 0].all()
