@@ -178,16 +178,16 @@ def audit_corpus(
     # recommendations
     if rep.duplicates > rep.num_chunks * 0.02:
         rep.recommendations.append(
-            f"{rep.duplicates} duplicate chunks (>2%): run `arag repair --dedup`"
+            f"{rep.duplicates} duplicate chunks (>2%): run `arag repair` (drops exact duplicates)"
         )
     if bands.get("over_limit", 0):
         rep.recommendations.append(
-            f"{bands['over_limit']} chunks exceed {max_tokens} tokens: run `arag repair --split`"
+            f"{bands['over_limit']} chunks exceed {max_tokens} tokens: run `arag repair` (splits at --max-chars)"
         )
     if rep.gates["below_keep_quality"] > rep.num_chunks * 0.1:
         rep.recommendations.append(
             f"{rep.gates['below_keep_quality']} chunks below keep-quality {keep_quality}: "
-            "re-extract or run `arag repair --drop-low-quality`"
+            "re-extract or run `arag repair --min-quality 0.7`"
         )
     if bands.get("under_optimal", 0) > rep.num_chunks * 0.2:
         rep.recommendations.append(

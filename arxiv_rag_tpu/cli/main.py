@@ -512,7 +512,7 @@ def _build_engine(args):
         if corpus is None:
             print("--hybrid-alpha needs --corpus (BM25 is built over its texts)",
                   file=sys.stderr)
-            return 2
+            raise SystemExit(2)
         from arxiv_rag_tpu.search.bm25 import BM25Index
 
         bm25 = BM25Index.build(corpus.texts())
@@ -580,7 +580,6 @@ def cmd_status(args) -> int:
     if db_path.exists():
         with ProgressDB(db_path) as db:
             out["chunk_stage"] = db.stats("chunk")
-    manifest = Path(args.corpus) / "corpus.json"
     for name in ("corpus.json", "manifest.json"):
         mp = Path(args.corpus) / name
         if mp.exists():

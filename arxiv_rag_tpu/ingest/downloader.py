@@ -158,8 +158,12 @@ class Downloader:
     def download_one(self, category: str, paper_id: str) -> tuple[bool, str]:
         """Version ladder × retry ladder around the fetcher."""
         dest = paper_paths(self.root, category, paper_id)
-        if dest.exists() and dest.stat().st_size > 0:
-            return True, "exists"
+        if dest.exists():
+            # validate leftovers too: an interrupted fetch can leave a
+            # truncated non-PDF that must be re-fetched, not trusted
+            if self._validate(dest):
+                return True, "exists"
+            dest.unlink(missing_ok=True)
         dest.parent.mkdir(parents=True, exist_ok=True)
         year_month = paper_id.split(".")[0]
         last_err = "no versions tried"
@@ -172,7 +176,7 @@ class Downloader:
                     self.fetcher(url, dest)
                 except FetchError as exc:
                     last_err = str(exc)
-                    time.sleep(self.cfg.retry_base_delay * (2**attempt) * 0.01)
+                    time.sleep(self.cfg.retry_base_delay * (2**attempt))
                     continue
                 if self._validate(dest):
                     return True, f"v{version}"

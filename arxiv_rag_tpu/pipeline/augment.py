@@ -85,7 +85,8 @@ def figure_placeholders(text: str) -> list[dict]:
         if key in seen:
             continue
         seen.add(key)
-        out.append({"kind": key[0].replace("fig", "figure"), "label": m.group(2), "offset": m.start()})
+        kind = "figure" if key[0].startswith("fig") else key[0]
+        out.append({"kind": kind, "label": m.group(2), "offset": m.start()})
     return out
 
 

@@ -75,10 +75,12 @@ class ChunkerConfig:
 class Chunker:
     def __init__(
         self,
-        cfg: ChunkerConfig = ChunkerConfig(),
+        cfg: ChunkerConfig | None = None,
         sentence_encoder: Callable[[Sequence[str]], np.ndarray] | None = None,
     ) -> None:
-        self.cfg = cfg
+        # fresh default per instance (a shared default dataclass would
+        # leak config mutations across chunkers)
+        self.cfg = cfg if cfg is not None else ChunkerConfig()
         self.sentence_encoder = sentence_encoder
 
     def chunk(self, text: str) -> list[Chunk]:

@@ -127,9 +127,19 @@ def dehyphenate(text: str) -> str:
 
 
 def fix_ligatures(text: str) -> str:
-    """Common PDF ligature codepoints → ASCII."""
-    table = {"ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl",
-             "–": "-", "—": "--", "'": "'", "'": "'", """: '"', """: '"'}
+    """Common PDF ligature/smart-quote codepoints → ASCII.
+
+    Keys are written as unicode escapes: quote literals in a dict
+    display previously parsed as an accidental triple-quote, producing
+    a corrupting mapping and ASCII self-maps instead of the documented
+    curly-quote normalization."""
+    table = {
+        "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff",
+        "ﬃ": "ffi", "ﬄ": "ffl",
+        "–": "-", "—": "--",
+        "‘": "'", "’": "'",
+        "“": '"', "”": '"',
+    }
     for k, v in table.items():
         text = text.replace(k, v)
     return text

@@ -371,8 +371,6 @@ def ascii85_decode(data: bytes) -> bytes:
             group = []
     if group:
         pad = 5 - len(group)
-        for g in group + [84] * pad:
-            pass
         val = 0
         for g in group + [84] * pad:
             val = val * 85 + g

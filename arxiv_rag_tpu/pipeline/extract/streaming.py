@@ -68,6 +68,11 @@ class StreamingExtractor:
         doc = pdfcore.open_pdf(pdf_path)
         page_dicts = doc.pages()
         total = len(page_dicts)
+        # re-yield checkpointed pages first: callers that collect every
+        # yielded page (extract_all) must see the full document, not
+        # just the post-resume suffix
+        for i in range(start_page):
+            yield StreamProgress(page=i + 1, total_pages=total, text=pages[i])
         for i in range(start_page, total):
             try:
                 text = pdftext.extract_page_text(doc, page_dicts[i])

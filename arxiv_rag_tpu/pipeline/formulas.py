@@ -20,7 +20,9 @@ GREEK = "αβγδεζηθικλμνξοπρστυφχψωΓΔΘΛΞΠΣΦΨΩ"
 UNICODE_MATH_CHARS = set("∑∏∫∂∇√∞±×÷≤≥≠≈∈∉⊂⊆∪∩→⇒⇔∀∃" + GREEK)
 SUBSUPER = re.compile(r"[A-Za-z]\s*[_^]\s*\{?\w+\}?")
 
-_PLACEHOLDER = "\x00MATH{}\x00"
+# private-use-area sentinels: survive the cleaner's control-char strip
+# (NUL sentinels were deleted by CONTROL_CHARS, destroying every formula)
+_PLACEHOLDER = "\ue000MATH{}\ue001"
 
 
 @dataclass

@@ -155,9 +155,15 @@ def repair_corpus(
                             stats.headers_added += 1
                     stats.kept += 1
                     if writer is not None:
-                        # split chunks renumber as i*1000+j to stay int
-                        # while staying stable and collision-free
-                        idx = row["chunk_index"] if len(pieces) == 1 else row["chunk_index"] * 1000 + j
+                        # split pieces renumber into a high range that
+                        # original indices (sub-million per paper) never
+                        # reach: index*1e6 keeps (paper_id, chunk_index)
+                        # unique even for papers with thousands of chunks
+                        idx = (
+                            row["chunk_index"]
+                            if len(pieces) == 1
+                            else row["chunk_index"] * 1_000_000 + 1 + j
+                        )
                         writer.add(
                             ChunkRecord(
                                 paper_id=row["paper_id"],

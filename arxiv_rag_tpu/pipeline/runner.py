@@ -78,8 +78,13 @@ def _make_sentence_encoder(cfg: Config):
 
 def _components(cfg: Config) -> tuple[PDFExtractor, TextCleaner, Chunker]:
     """Construct (and per-process cache) the pipeline components —
-    unlike ``worker.py:244-313``, which re-initializes per *paper*."""
-    key = id(cfg)
+    unlike ``worker.py:244-313``, which re-initializes per *paper*.
+
+    The cache key is the config *content*: executor workers unpickle a
+    fresh Config per task, so an identity key would rebuild components
+    (and reload the semantic encoder) per paper, and a recycled id()
+    could serve stale components for a different config."""
+    key = json.dumps(cfg.to_dict(), sort_keys=True, default=str)
     if _WORKER_STATE.get("key") != key:
         chunk_cfg = ChunkerConfig(
             method=cfg.chunking.method,
@@ -136,7 +141,7 @@ def process_paper(
     if not text.strip():
         return PaperResult(paper_id, False, error="empty after cleaning")
 
-    smap = extract_sections(text, cleaned_pages)
+    smap = extract_sections(text, cleaned_pages, page_join="\n\n")
     md = extract_metadata(text)
     citations = extract_citations(text, smap)
     from arxiv_rag_tpu.pipeline.crossref import extract_crossrefs

@@ -100,20 +100,24 @@ class SectionMap:
 
 def normalize_section_name(raw: str) -> str:
     name = re.sub(r"\s+", " ", raw.strip().lower()).rstrip(":")
-    return _NORMALIZE.get(name, name if name in CANONICAL else name)
+    return _NORMALIZE.get(name, name)
 
 
 def extract_sections(
-    text: str, page_texts: list[str] | None = None
+    text: str, page_texts: list[str] | None = None, page_join: str = ""
 ) -> SectionMap:
     """Scan headings (≤5000 lines), return sections with char spans and
-    page numbers."""
+    page numbers.
+
+    ``page_join`` is the separator ``text`` was joined with (the runner
+    uses "\n\n"); omitting it drifts page attribution by len(sep) chars
+    per page."""
     page_offsets: list[int] = []
     if page_texts:
         off = 0
         for pt in page_texts:
             page_offsets.append(off)
-            off += len(pt)
+            off += len(pt) + len(page_join)
 
     lines = text.split("\n")
     sections: list[Section] = []

@@ -91,11 +91,13 @@ def test_streaming_extractor_checkpoint_resume(tmp_path):
     assert len(ckpts) == 1
     assert json.loads(ckpts[0].read_text())["last_page"] == 4
 
-    # resume: starts at page 5, checkpoint removed on success
+    # resume: checkpointed pages replay (so collectors see the full
+    # document), extraction continues at page 5, checkpoint removed
     rest = [p.page for p in se.stream_pages(pdf)]
-    assert rest == [5, 6, 7]
+    assert rest == [1, 2, 3, 4, 5, 6, 7]
     assert not list((tmp_path / "ck").glob("*.ckpt.json"))
 
     texts = se.extract_all(pdf)
     assert len(texts) == 7
     assert "Page 6" in texts[6]
+    assert "Page 0" in texts[0]  # replayed pages carry their text
