@@ -164,14 +164,19 @@ class SearchEngine:
                     raise ValueError(
                         "category filter requested but index was built without categories"
                     )
-                # masked int8 goes through the XLA path (fused masked-int8
-                # kernel is a planned optimization)
                 row_masks = jnp.where(
                     jnp.arange(idx._device_values.shape[0]) < n_valid,
                     idx._device_masks.astype(jnp.uint32),
                     0,
                 )
                 qmask = self._qmask(categories, qn).astype(jnp.uint32)
+                if use_pallas:
+                    from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8_masked
+
+                    return fused_topk_int8_masked(
+                        idx._device_values, idx._device_scales,
+                        row_masks, qmask, q, k, n_valid=n_valid,
+                    )
             return int8_search(
                 idx._device_values, idx._device_scales, q, k,
                 row_masks=row_masks, query_mask=qmask,

@@ -152,3 +152,34 @@ def test_k_above_lanes_raises():
     q = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
     with pytest.raises(ValueError, match="k=128"):
         fused_topk(index, q, 129, interpret=True)
+
+
+def test_int8_masked_fused_matches_oracle():
+    """Fused int8-storage + category-mask kernel == masked numpy oracle."""
+    from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8_masked
+    from arxiv_rag_tpu.ops.quant import quantize_int8
+    from arxiv_rag_tpu.ops.topk import cosine_topk_numpy, recall_at_k
+
+    rng = np.random.default_rng(8)
+    n, d, qn, k = 700, 64, 4, 10
+    index = rng.standard_normal((n, d)).astype(np.float32)
+    index /= np.linalg.norm(index, axis=1, keepdims=True)
+    q = index[:qn] + 0.01 * rng.standard_normal((qn, d)).astype(np.float32)
+    cats = rng.integers(0, 2, n)
+    row_masks = (1 << cats).astype(np.int32)
+    want = 0b10  # category 1
+    vals8, scales = quantize_int8(jnp.asarray(index))
+    v, ids = fused_topk_int8_masked(
+        vals8, scales, jnp.asarray(row_masks),
+        jnp.full((qn,), want, jnp.int32), jnp.asarray(q), k,
+        block_rows=256, interpret=True,
+    )
+    eligible = (row_masks & want) != 0
+    sub_ids = np.nonzero(eligible)[0]
+    ov, oi_local = cosine_topk_numpy(index[eligible], q, k)
+    oi = sub_ids[oi_local]
+    rec = recall_at_k(np.asarray(ids), oi, ov, tie_tol=2e-2,
+                      candidate_scores=np.asarray(v, np.float32))
+    assert rec >= 0.95  # int8 quantization tolerance
+    got = np.asarray(ids)
+    assert ((row_masks[got] & want) != 0)[got >= 0].all()
