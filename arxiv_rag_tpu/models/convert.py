@@ -97,9 +97,12 @@ def from_torch_module(module, cfg: ModelConfig, dtype: jnp.dtype = jnp.float32) 
 def from_safetensors(
     path: str | Path, cfg: ModelConfig, dtype: jnp.dtype = jnp.float32
 ) -> MPNetParams:
-    """Load an HF checkpoint directory's model.safetensors without torch."""
+    """Load an HF checkpoint's model.safetensors (file or its dir)."""
     from safetensors.numpy import load_file
 
+    path = Path(path)
+    if path.is_dir():
+        path = path / "model.safetensors"
     return from_hf_state_dict(load_file(str(path)), cfg, dtype)
 
 

@@ -187,3 +187,46 @@ def test_fused_attention_matches_einsum():
     a = forward(params, ids, mask, SMALL, fused_attention=False)
     b = forward(params, ids, mask, SMALL, fused_attention=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_from_safetensors_checkpoint_dir(tmp_path):
+    """The arag convert input path: model.safetensors + config.json."""
+    import os as _os
+
+    if _os.environ.get("ARAG_ALLOW_TORCH") != "1":
+        pytest.skip("torch import costs minutes here; run with ARAG_ALLOW_TORCH=1")
+    import json as _json
+
+    import torch
+    from safetensors.torch import save_file
+    from transformers import MPNetConfig, MPNetModel
+
+    pytest.importorskip("safetensors")
+    torch.manual_seed(5)
+    hf_cfg = MPNetConfig(
+        vocab_size=SMALL.vocab_size, hidden_size=SMALL.hidden_size,
+        num_hidden_layers=SMALL.num_hidden_layers,
+        num_attention_heads=SMALL.num_attention_heads,
+        intermediate_size=SMALL.intermediate_size,
+        max_position_embeddings=SMALL.max_position_embeddings,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+    )
+    model = MPNetModel(hf_cfg).eval()
+    sd = {k: v.contiguous() for k, v in model.state_dict().items()
+          if not k.endswith("position_ids")}
+    save_file(sd, tmp_path / "model.safetensors")
+    (tmp_path / "config.json").write_text(_json.dumps(hf_cfg.to_dict()))
+
+    from arxiv_rag_tpu.models.convert import from_safetensors, load_model_config
+
+    cfg = load_model_config(tmp_path)
+    assert cfg.hidden_size == SMALL.hidden_size
+    params = from_safetensors(tmp_path, cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(4, cfg.vocab_size, (2, 9)), jnp.int32)
+    mask = jnp.ones((2, 9), jnp.int32)
+    ours = forward(params, ids, mask, cfg)
+    with __import__("torch").no_grad():
+        theirs = model(__import__("torch").tensor(np.asarray(ids, np.int64)),
+                       attention_mask=__import__("torch").tensor(np.asarray(mask, np.int64))
+                       ).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
