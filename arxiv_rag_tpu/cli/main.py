@@ -28,6 +28,23 @@ import threading
 from pathlib import Path
 
 
+
+def _tokenizer_or_toy(vocab_path):
+    """Real vocab when available; the toy char-level fallback is for
+    smoke runs only and is announced loudly (silent fallback destroys
+    retrieval quality with real weights)."""
+    from pathlib import Path as _P
+
+    from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+    if vocab_path and _P(vocab_path).exists():
+        return WordPieceTokenizer.from_vocab_file(vocab_path)
+    print("WARNING: no vocab.txt found - using the toy char-level vocab "
+          "(fine for --random-init smoke runs, wrong for real checkpoints)",
+          file=sys.stderr)
+    return WordPieceTokenizer.toy()
+
+
 def _add_download(sub) -> None:
     p = sub.add_parser("download", help="fetch arXiv PDFs from GCS")
     p.add_argument("--ids", required=True, help="file of category|paper_id lines")
@@ -298,7 +315,18 @@ def cmd_convert(args) -> int:
     cfg = load_model_config(args.hf_dir)
     params = from_safetensors(args.hf_dir, cfg)
     save_checkpoint(args.out, params, cfg)
-    print(json.dumps({"saved": args.out, "hidden": cfg.hidden_size, "layers": cfg.num_hidden_layers}))
+    # carry tokenizer files: embed/search/train look for vocab.txt next
+    # to the checkpoint (falling back to the toy vocab silently breaks
+    # real-model quality)
+    copied = []
+    for name in ("vocab.txt", "tokenizer.json", "tokenizer_config.json",
+                 "special_tokens_map.json"):
+        srcf = Path(args.hf_dir) / name
+        if srcf.exists():
+            (Path(args.out) / name).write_bytes(srcf.read_bytes())
+            copied.append(name)
+    print(json.dumps({"saved": args.out, "hidden": cfg.hidden_size,
+                      "layers": cfg.num_hidden_layers, "tokenizer_files": copied}))
     return 0
 
 
@@ -338,11 +366,7 @@ def cmd_embed(args) -> int:
         mcfg = ModelConfig()
         params = init_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
         vocab_path = args.vocab
-    tokenizer = (
-        WordPieceTokenizer.from_vocab_file(vocab_path)
-        if vocab_path and Path(vocab_path).exists()
-        else WordPieceTokenizer.toy()
-    )
+    tokenizer = _tokenizer_or_toy(vocab_path)
     mesh = None
     if args.shard_batches:
         from arxiv_rag_tpu.parallel import data_mesh
@@ -494,11 +518,7 @@ def _build_engine(args):
         mcfg = ModelConfig()
         params = init_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
         vocab_path = args.vocab
-    tokenizer = (
-        WordPieceTokenizer.from_vocab_file(vocab_path)
-        if vocab_path and Path(vocab_path).exists()
-        else WordPieceTokenizer.toy()
-    )
+    tokenizer = _tokenizer_or_toy(vocab_path)
     embedder = Embedder(params, mcfg, tokenizer)
 
     corpus = None
@@ -663,11 +683,7 @@ def cmd_train(args) -> int:
         )
         params = init_params(jax.random.PRNGKey(0), mcfg)
         vocab_path = args.vocab
-    tokenizer = (
-        WordPieceTokenizer.from_vocab_file(vocab_path)
-        if vocab_path and Path(vocab_path).exists()
-        else WordPieceTokenizer.toy()
-    )
+    tokenizer = _tokenizer_or_toy(vocab_path)
     if args.small_model:
         mcfg = ModelConfig(
             vocab_size=max(tokenizer.vocab.values()) + 1, hidden_size=64,
