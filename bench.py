@@ -109,15 +109,49 @@ def main() -> None:
     cpu_thread = threading.Thread(target=cpu_baseline, daemon=True)
     cpu_thread.start()
 
-    def run_search():
-        if on_tpu:
-            return fused_topk(index, queries_dev.astype(jnp.bfloat16), k,
-                              n_valid=n_rows, block_rows=BLOCK_ROWS)
+    kernel_impl = "pallas_fused"
+
+    def run_fused():
+        return fused_topk(index, queries_dev.astype(jnp.bfloat16), k,
+                          n_valid=n_rows, block_rows=BLOCK_ROWS)
+
+    def run_xla():
         return flat_search(index, queries_dev, k)
 
-    vals, ids = run_search()
-    _ = np.asarray(vals)
-    log("search kernel compiled + warm")
+    run_search = run_fused if on_tpu else run_xla
+
+    # compile watchdog: the shared pool's remote compile takes 10s-10min;
+    # if the fused kernel doesn't come up within the window, fall back to
+    # the XLA scan so the driver always gets its JSON line. The compile
+    # thread keeps running; if it finishes in time we still use it.
+    compile_timeout = float(os.environ.get("ARAG_BENCH_COMPILE_TIMEOUT", 330.0))
+    warm: dict = {}
+
+    def _warm():
+        try:
+            v, i = run_search()
+            warm["out"] = (v, i)
+            _ = np.asarray(v)
+            warm["ok"] = True
+        except Exception as exc:  # noqa: BLE001 — fall back, don't die
+            warm["err"] = exc
+
+    wt = threading.Thread(target=_warm, daemon=True)
+    wt.start()
+    wt.join(compile_timeout if on_tpu else None)
+    if not warm.get("ok"):
+        if "err" in warm:
+            log(f"fused kernel failed ({warm['err']}); using the XLA scan")
+        else:
+            log(f"fused kernel not compiled after {compile_timeout:.0f}s; "
+                "using the XLA scan for the headline")
+        kernel_impl = "xla_fallback"
+        run_search = run_xla
+        vals, ids = run_search()
+        _ = np.asarray(vals)
+    else:
+        vals, ids = warm["out"]
+    log(f"search kernel ready ({kernel_impl})")
 
     # timing: result FETCH per iteration. block_until_ready through the
     # remote-device tunnel returns before execution completes (measured:
@@ -259,6 +293,7 @@ def main() -> None:
                 "int8_recall_at_10": round(float(int8_recall), 4),
                 "cpu_exact_qps_scaled": round(cpu_qps, 3),
                 "embed_chunks_per_sec": round(chunks_per_s, 1),
+                "kernel": kernel_impl,
                 "backend": jax.default_backend(),
             }
         )
