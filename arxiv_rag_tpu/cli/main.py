@@ -587,6 +587,40 @@ def cmd_search(args) -> int:
 
 
 
+
+def _add_eval(sub) -> None:
+    p = sub.add_parser("eval", help="retrieval-quality evaluation (recall@k/MRR)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--max-queries", type=int, default=256)
+    p.add_argument("--hybrid-alpha", type=float, default=None)
+    p.add_argument("--rerank-checkpoint", default=None)
+    p.add_argument("--rerank-random-init", action="store_true")
+    p.add_argument("--shard", action="store_true")
+
+
+def cmd_eval(args) -> int:
+    from arxiv_rag_tpu.evaluate import evaluate_engine, title_queries
+    from arxiv_rag_tpu.pipeline.repair import load_paper_titles
+
+    engine = _build_engine(args)
+    if engine.corpus is None:
+        print("eval needs --corpus", file=sys.stderr)
+        return 2
+    titles = load_paper_titles(args.corpus)
+    queries, relevant = title_queries(engine.corpus, titles, args.max_queries)
+    if not queries:
+        print("no usable (title, chunks) pairs in the corpus", file=sys.stderr)
+        return 2
+    res = evaluate_engine(engine, queries, relevant, k=args.k)
+    print(json.dumps(res.to_dict()))
+    return 0
+
+
 def _add_status(sub) -> None:
     p = sub.add_parser("status", help="pipeline progress + corpus summary")
     p.add_argument("--corpus", required=True)
@@ -815,6 +849,7 @@ COMMANDS = {
     "embed": cmd_embed,
     "index": cmd_index,
     "search": cmd_search,
+    "eval": cmd_eval,
     "status": cmd_status,
     "train": cmd_train,
     "serve": cmd_serve,
@@ -826,7 +861,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="arag", description=__doc__.split("\n")[0])
     sub = ap.add_subparsers(dest="command", required=True)
     for adder in (_add_download, _add_dedup, _add_extract, _add_chunk, _add_repair, _add_augment,
-                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_status, _add_train, _add_serve, _add_bench):
+                  _add_audit, _add_convert, _add_embed, _add_index, _add_search, _add_eval, _add_status, _add_train, _add_serve, _add_bench):
         adder(sub)
     return ap
 

@@ -254,3 +254,21 @@ def test_cli_search_sharded(pdf_root, tmp_path, capsys):
                  "--shard"]) == 0
     out = capsys.readouterr().out
     assert "row=" in out
+
+
+def test_cli_eval_retrieval_quality(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "c8"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    emb = tmp_path / "e8"
+    main(["embed", "--corpus", str(corpus), "--out", str(emb),
+          "--random-init", "--batch-size", "8", "--min-quality", "0.0"])
+    idx = tmp_path / "i8"
+    main(["index", "--embeddings", str(emb), "--corpus", str(corpus),
+          "--out", str(idx), "--dtype", "float32"])
+    capsys.readouterr()
+    assert main(["eval", "--index", str(idx), "--corpus", str(corpus),
+                 "--k", "5", "--random-init"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["queries"] == 3
+    assert 0.0 <= rep["recall_at_k"] <= 1.0
+    assert 0.0 <= rep["mrr_at_k"] <= 1.0
