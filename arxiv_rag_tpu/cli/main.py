@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import signal
 import sys
 import threading
@@ -866,7 +867,22 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS for CLI runs. A sitecustomize in some images
+    registers a TPU plugin at interpreter start and overrides the env
+    var, so the config must be re-applied post-import."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", want)
+        except Exception:  # jax may be absent for host-only verbs
+            pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    _apply_platform_env()
     args = build_parser().parse_args(argv)
     return COMMANDS[args.command](args)
 
