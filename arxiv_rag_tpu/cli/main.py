@@ -30,6 +30,25 @@ from pathlib import Path
 
 
 
+
+def _native_tokenizer_or_none(vocab_path):
+    """C++ batch tokenizer when a real vocab exists and the native lib
+    builds (38x the Python path per core); None otherwise."""
+    from pathlib import Path as _P
+
+    if not (vocab_path and _P(vocab_path).exists()):
+        return None
+    try:
+        from arxiv_rag_tpu.tokenize.native import NativeWordPieceTokenizer, is_available
+
+        if is_available():
+            return NativeWordPieceTokenizer(vocab_path)
+    except Exception as exc:  # noqa: BLE001 — fall back silently but log
+        print(f"note: native tokenizer unavailable ({exc}); using Python",
+              file=sys.stderr)
+    return None
+
+
 def _tokenizer_or_toy(vocab_path):
     """Real vocab when available; the toy char-level fallback is for
     smoke runs only and is announced loudly (silent fallback destroys
@@ -368,12 +387,14 @@ def cmd_embed(args) -> int:
         params = init_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
         vocab_path = args.vocab
     tokenizer = _tokenizer_or_toy(vocab_path)
+    native_tok = _native_tokenizer_or_none(vocab_path)
     mesh = None
     if args.shard_batches:
         from arxiv_rag_tpu.parallel import data_mesh
 
         mesh = data_mesh()
-    embedder = Embedder(params, mcfg, tokenizer, batch_size=args.batch_size, mesh=mesh)
+    embedder = Embedder(params, mcfg, tokenizer, batch_size=args.batch_size,
+                        mesh=mesh, native_tokenizer=native_tok)
 
     reader = CorpusReader(args.corpus)
     out_dir = Path(args.out)
