@@ -218,6 +218,28 @@ def _build_call(
     )
 
 
+
+def _auto_block_rows(qn: int, requested: int | None) -> int:
+    """Largest power-of-two block that keeps the kernel inside the
+    ~16 MB scoped-VMEM budget. The merge path materializes ~3 arrays of
+    [Q, block+LANES] plus the [Q, block] scores and the [block, D]
+    input tile; at Q=128 a 4096-row block overflows (measured: 18.3 MB
+    vs the 16 MB limit), so the block shrinks as the query batch grows.
+    """
+    if requested is not None:
+        return requested
+    budget = 11_000_000  # bytes of scoped VMEM left for our tensors
+    best = 512
+    b = 512
+    while b <= 4096:
+        need = b * (16 * qn + 1536) + qn * (LANES * 16 + 1536)
+        if need > budget:
+            break
+        best = b
+        b *= 2
+    return best
+
+
 def _pad_rows(x: np.ndarray | jnp.ndarray, multiple: int) -> jnp.ndarray:
     n = x.shape[0]
     pad = (-n) % multiple
@@ -244,13 +266,14 @@ def fused_topk(
     k: int,
     *,
     n_valid: int | None = None,
-    block_rows: int = 4096,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flat-scan top-k. ``index`` [N, D] (f32/bf16), rows
     L2-normalized; ``queries`` [Q, D]. Returns (values [Q,k], ids [Q,k])."""
     if interpret is None:
         interpret = _interpret_default()
+    block_rows = _auto_block_rows(queries.shape[0], block_rows)
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
     nvalid = jnp.full((1, 1), n, jnp.int32)
@@ -283,12 +306,13 @@ def fused_topk_masked(
     k: int,
     *,
     n_valid: int | None = None,
-    block_rows: int = 4096,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Metadata-filtered fused top-k (row bitmask & query bitmask != 0)."""
     if interpret is None:
         interpret = _interpret_default()
+    block_rows = _auto_block_rows(queries.shape[0], block_rows)
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
@@ -322,7 +346,7 @@ def fused_topk_int8(
     k: int,
     *,
     n_valid: int | None = None,
-    block_rows: int = 4096,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """int8-stored index scanned with bf16 compute: half the HBM bytes,
@@ -330,6 +354,7 @@ def fused_topk_int8(
     are exact in bf16, so the only loss is the quantization itself)."""
     if interpret is None:
         interpret = _interpret_default()
+    block_rows = _auto_block_rows(queries.shape[0], block_rows)
     n = values.shape[0] if n_valid is None else n_valid
     values = _pad_rows(values, block_rows)
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
@@ -368,7 +393,7 @@ def fused_topk_int8_masked(
     k: int,
     *,
     n_valid: int | None = None,
-    block_rows: int = 4096,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Metadata-filtered int8-storage scan (bf16 compute), fully fused:
@@ -376,6 +401,7 @@ def fused_topk_int8_masked(
     (BASELINE configs[4] combined with configs[3])."""
     if interpret is None:
         interpret = _interpret_default()
+    block_rows = _auto_block_rows(queries.shape[0], block_rows)
     n = values.shape[0] if n_valid is None else n_valid
     values = _pad_rows(values, block_rows)
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
