@@ -60,7 +60,7 @@ def sharded_topk(
     n_valid: int | None = None,
     axis_name: str = DATA_AXIS,
     use_pallas: bool | None = None,
-    block_rows: int = 4096,
+    block_rows: int | None = None,
     row_masks: jax.Array | None = None,
     query_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -80,6 +80,10 @@ def sharded_topk(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
+    if block_rows is None:
+        from arxiv_rag_tpu.ops.pallas_topk import _auto_block_rows
+
+        block_rows = _auto_block_rows(queries.shape[0], None)
     masked = row_masks is not None and query_mask is not None
     if masked:
         use_pallas = False  # masked sharded path: XLA scan
