@@ -89,9 +89,11 @@ class SearchEngine:
         if qn_pad != qn_real:
             q = jnp.pad(q, ((0, qn_pad - qn_real), (0, 0)))
         n_valid = idx._n_valid
-        # the fused kernel's VMEM scratch holds <=128 candidates/query;
-        # larger k (e.g. deep rerank pools) routes to the XLA path
-        use_pallas = self.use_pallas and k <= 128
+        # routing (measured on 2M×768 bf16): the fused kernel wins at
+        # small query batches (streaming top-k, no launch overhead);
+        # XLA's matmul+fused-reduce wins ~2x from Q≈128 up. The kernel's
+        # VMEM scratch also caps k at 128.
+        use_pallas = self.use_pallas and k <= 128 and qn_pad <= 64
         with METRICS.timer("search.dense"):
             if idx._mesh is not None:
                 from arxiv_rag_tpu.parallel.search import sharded_topk
