@@ -555,9 +555,11 @@ def _build_engine(args):
             print("--hybrid-alpha needs --corpus (BM25 is built over its texts)",
                   file=sys.stderr)
             raise SystemExit(2)
-        from arxiv_rag_tpu.search.bm25 import BM25Index
+        from arxiv_rag_tpu.search.engine import bm25_for_index
 
-        bm25 = BM25Index.build(corpus.texts())
+        # aligned to INDEX rows (the index may be a quality-filtered
+        # subset of the corpus), not raw corpus order
+        bm25 = bm25_for_index(idx, corpus)
 
     reranker = None
     if args.rerank_checkpoint or args.rerank_random_init:

@@ -32,6 +32,38 @@ from arxiv_rag_tpu.search.bm25 import BM25Index
 log = get_logger("search")
 
 
+def bm25_for_index(index: DenseIndex, corpus) -> BM25Index:
+    """Build the BM25 side of hybrid retrieval in INDEX row order.
+
+    The dense index routinely covers a filtered subset of the corpus
+    (``arag embed --min-quality``), so BM25 built over ``corpus.texts()``
+    would score in a different row space than the dense scan; merging the
+    two produces wrong hydrations and out-of-range rows. Align by joining
+    corpus texts through ``index.chunk_ids`` when present.
+    """
+    if index.chunk_ids is not None:
+        table = corpus.read_all(columns=["chunk_id", "text"])
+        by_id = dict(
+            zip(table.column("chunk_id").to_pylist(), table.column("text").to_pylist())
+        )
+        missing = [cid for cid in index.chunk_ids if cid not in by_id]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} index chunk_ids missing from corpus "
+                f"(first: {missing[0]!r}) — wrong --corpus for this index?"
+            )
+        texts = [by_id[cid] for cid in index.chunk_ids]
+    else:
+        texts = corpus.texts()
+        if len(texts) != index.num_rows:
+            raise ValueError(
+                f"corpus has {len(texts)} chunks but index has {index.num_rows} "
+                "rows and no chunk_ids to join through — rebuild the index with "
+                "chunk_ids or use the matching corpus"
+            )
+    return BM25Index.build(texts)
+
+
 @dataclass
 class SearchResult:
     row: int
@@ -60,6 +92,12 @@ class SearchEngine:
         self.embedder = embedder
         self.corpus = corpus
         self.cfg = cfg
+        if bm25 is not None and bm25.num_docs != index.num_rows:
+            raise ValueError(
+                f"bm25 has {bm25.num_docs} docs but index has {index.num_rows} "
+                "rows; hybrid merge requires BM25 built in index row order "
+                "(use bm25_for_index)"
+            )
         self.bm25 = bm25
         self.reranker = reranker
         self.use_pallas = (
@@ -124,7 +162,10 @@ class SearchEngine:
 
     @staticmethod
     def _query_bucket(qn: int) -> int:
-        for b in (8, 32, 128):
+        # the 64 bucket matters for routing: the fused-kernel gate is
+        # qn_pad <= 64, and the measured Pallas/XLA crossover is Q≈64-128 —
+        # without it a real Q of 33-64 pads to 128 and misses the kernel
+        for b in (8, 32, 64, 128):
             if qn <= b:
                 return b
         # beyond the largest bucket, round up to a multiple of 128

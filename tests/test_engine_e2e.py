@@ -108,6 +108,77 @@ def test_engine_hybrid(stack):
     assert res_dense[0][0].row == 11
 
 
+def test_hybrid_with_filtered_index_rows():
+    """Hybrid merge when the index is a quality-filtered SUBSET of the
+    corpus: BM25 must be built in index row order (bm25_for_index), and a
+    misaligned BM25 is rejected loudly.  Regression for the round-1 bug
+    where BM25 corpus rows were merged with dense index rows, hydrating
+    wrong chunks and indexing out of range."""
+    import pyarrow as pa
+
+    from arxiv_rag_tpu.search.engine import bm25_for_index
+
+    n = 30
+    all_ids = [f"c{i:03d}" for i in range(n)]
+    texts = [f"unique{i:03d} common words row" for i in range(n)]
+    kept = [i for i in range(n) if i % 3 != 0]  # min-quality filter dropped 1/3
+
+    class FakeCorpus:
+        def read_all(self, columns=None):
+            cols = {
+                "chunk_id": all_ids,
+                "paper_id": [f"p{i}" for i in range(n)],
+                "category": ["cs.LG"] * n,
+                "section": ["s"] * n,
+                "page": [1] * n,
+                "text": texts,
+            }
+            if columns is not None:
+                cols = {k: cols[k] for k in columns}
+            return pa.table(cols)
+
+        def texts(self, min_quality=None):
+            return texts
+
+    rng = np.random.default_rng(7)
+    embs = rng.standard_normal((len(kept), 8)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    idx = build_index(embs, dtype="float32",
+                      chunk_ids=[all_ids[i] for i in kept])
+    corpus = FakeCorpus()
+
+    # misaligned BM25 (built over the full corpus) is rejected
+    with pytest.raises(ValueError, match="index row order"):
+        SearchEngine(idx, corpus=corpus, bm25=BM25Index.build(texts),
+                     use_pallas=False)
+
+    bm25 = bm25_for_index(idx, corpus)
+    assert bm25.num_docs == idx.num_rows
+
+    target_ir = 4  # an arbitrary index row; corpus row is kept[4]
+    target_text = texts[kept[target_ir]]
+
+    class FakeEmbedder:
+        def encode_texts(self, qs):
+            return embs[target_ir : target_ir + 1]
+
+    eng = SearchEngine(idx, embedder=FakeEmbedder(), corpus=corpus,
+                       bm25=bm25, use_pallas=False)
+    hits = eng.search([target_text], k=3, hybrid_alpha=0.5)[0]
+    # dense self-match and BM25 unique-term match agree on the same chunk
+    assert hits[0].chunk_id == all_ids[kept[target_ir]]
+    assert hits[0].text == target_text
+
+    # bm25_for_index is loud when the corpus doesn't cover the index
+    class WrongCorpus(FakeCorpus):
+        def read_all(self, columns=None):
+            t = super().read_all(columns)
+            return t.slice(0, 5)
+
+    with pytest.raises(ValueError, match="missing from corpus"):
+        bm25_for_index(idx, WrongCorpus())
+
+
 def test_missing_categories_is_loud(stack):
     d, tok, emb, corpus, texts, cats, vectors = stack
     index = build_index(vectors, dtype="float32")  # no categories
@@ -250,7 +321,8 @@ def test_query_batch_bucketing_consistency():
     idx = build_index(embs, dtype="float32")
     engine = SearchEngine(idx, use_pallas=False)
     assert engine._query_bucket(1) == 8
-    assert engine._query_bucket(33) == 128
+    assert engine._query_bucket(33) == 64  # 64 bucket keeps Q=33-64 on the fused kernel
+    assert engine._query_bucket(65) == 128
     assert engine._query_bucket(200) == 256
     for qn in (1, 3, 8, 9):
         q = embs[:qn]
