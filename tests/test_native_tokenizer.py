@@ -75,6 +75,75 @@ def cc_sep(cc):
     return 2  # </s> index in VOCAB
 
 
+def _parity_sweep(texts, tmp_path, max_len=24):
+    """Build a vocab containing every Python-folded word, so any fold
+    divergence in the native tokenizer surfaces as a different id."""
+    py_probe = WordPieceTokenizer.toy()
+    words = set()
+    for t in texts:
+        words.update(py_probe.basic_tokenize(t))
+    sp = py_probe.specials
+    vocab = [sp.pad, sp.cls, sp.sep, sp.unk, sp.mask] + sorted(words)
+    path = tmp_path / "sweep_vocab.txt"
+    path.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+    py = WordPieceTokenizer.from_vocab_file(path)
+    cc = NativeWordPieceTokenizer(path)
+    ids_py, mask_py = py.encode_batch(texts, max_len=max_len)
+    ids_cc, mask_cc = cc.encode_batch(texts, max_len=max_len)
+    bad = np.nonzero((ids_cc != ids_py).any(axis=1))[0]
+    assert bad.size == 0, (
+        f"{bad.size} texts tokenize differently; first: {texts[bad[0]]!r} "
+        f"py={ids_py[bad[0]].tolist()} cc={ids_cc[bad[0]].tolist()}"
+    )
+    np.testing.assert_array_equal(mask_cc, mask_py)
+
+
+def test_fold_parity_latin_sweep(pair, tmp_path):
+    """Every codepoint U+00A0-U+024F through both tokenizers (the ADVICE
+    round-1 finding: the old hand-written Latin-Extended-A table was
+    misaligned and force-folded non-decomposable letters)."""
+    _parity_sweep([chr(cp) for cp in range(0xA0, 0x250)], tmp_path)
+
+
+def test_fold_parity_greek_cyrillic_extended(pair, tmp_path):
+    cps = (
+        list(range(0x370, 0x400))        # Greek incl. accented forms
+        + list(range(0x400, 0x460))      # Cyrillic incl. ё/й decompositions
+        + list(range(0x1E00, 0x1F00))    # Latin Extended Additional
+        + list(range(0x1F00, 0x1F70))    # Greek Extended (polytonic)
+    )
+    _parity_sweep([chr(cp) for cp in cps], tmp_path)
+
+
+def test_fold_parity_words(pair, tmp_path):
+    """Real-author-name shapes: the round-1 bug silently diverged on
+    names like Škoda/Łukasz between index-time (native) and query-time
+    (Python) tokenization."""
+    _parity_sweep(
+        [
+            "Łukasz Škoda Čech Øre Þór Đorđe Ñandú",
+            "Müller-Straße naïve façade œuvre Ævar",
+            "ΛΌΓΟΣ λόγος Ψυχή", "Ёлка Йорк",
+            "İstanbul ẞtraße ŉdebele",
+            "한글 조합 テスト 豈",               # Hangul NFD + CJK compat ideograph
+            "mixed ΣΊΣΥΦΟΣ and ASCII-text.",
+        ],
+        tmp_path,
+        max_len=64,
+    )
+
+
+def test_fold_parity_random_bmp(pair, tmp_path):
+    """Randomized BMP sweep (fixed seed): whitespace/control/punct
+    classification and fold map must agree everywhere, not just in the
+    curated ranges."""
+    rng = np.random.default_rng(1234)
+    cps = rng.integers(0xA0, 0xFFFF, 4000)
+    texts = ["".join(chr(c) for c in cps[i : i + 4] if not 0xD800 <= c <= 0xDFFF)
+             for i in range(0, len(cps), 4)]
+    _parity_sweep(texts, tmp_path, max_len=48)
+
+
 def test_is_available_consistency():
     assert is_available() == True  # noqa: E712  (build happened in fixture)
 
