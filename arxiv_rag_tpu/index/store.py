@@ -291,7 +291,9 @@ class DenseIndex:
 
             self._device_values, _ = shard_index_rows(vals, mesh, extra_row_multiple=row_multiple)
             if self.scales is not None:
-                raise NotImplementedError("sharded int8 index lands with the engine's int8 mesh path")
+                s = jnp.asarray(self.scales, jnp.float32).reshape(-1, 1)
+                sharded, _ = shard_index_rows(s, mesh, extra_row_multiple=row_multiple)
+                self._device_scales = sharded.reshape(-1)
             if self.row_masks is not None:
                 m = jnp.asarray(self.row_masks.astype(np.int32)).reshape(-1, 1)
                 sharded, _ = shard_index_rows(m, mesh, extra_row_multiple=row_multiple)

@@ -7,15 +7,23 @@ in HBM (XLA's ``flat_search`` writes it before ``lax.top_k`` reads it
 back; at ~2M rows that's the whole bandwidth budget spent twice).
 
 Design:
-- grid over row blocks of ``block_rows``; Pallas double-buffers the
-  HBM→VMEM index stream while the MXU scores the current block;
-- scratch holds top-k values/global-indices padded to 128 lanes;
-- per block, a single max-reduction finds the block's best score per
-  query; the (VPU-expensive) merge loop runs under ``@pl.when`` only if
-  some query's block max beats its current k-th score — after warm-up
-  almost every block skips the merge, so steady state is
-  HBM-bandwidth-bound: matmul + one reduction per block;
-- merge = K max-extraction passes over [Q, block+128] with min-column
+- 2-D grid: row blocks of ``block_rows`` on the outer axis, query tiles
+  of ``q_block`` on the inner (fastest) axis. The index block's
+  BlockSpec is constant across the inner axis, so each HBM block is
+  fetched ONCE and scored against every query tile while resident in
+  VMEM — the index streams exactly once per call regardless of Q, and
+  the VMEM merge arrays scale with the query TILE, so ``block_rows``
+  no longer shrinks as the query batch grows (the round-1 large-Q
+  ceiling: at Q=512 the single-level kernel fell to 512-row blocks and
+  lost ~2× to XLA);
+- scratch holds per-query-tile top-k values/global-indices padded to
+  128 lanes, dynamic-sliced by the query-tile id;
+- per (block, tile), a single max-reduction finds the block's best
+  score per query; the (VPU-expensive) merge loop runs under
+  ``@pl.when`` only if some query's block max beats its current k-th
+  score — after warm-up almost every block skips the merge, so steady
+  state is HBM-bandwidth-bound: matmul + one reduction per block;
+- merge = K max-extraction passes over [QB, block+128] with min-column
   tie-breaking, matching ``lax.top_k``'s lowest-index-wins order
   (scratch columns sit left of the block, and earlier blocks have
   smaller global indices, so ties resolve identically);
@@ -52,7 +60,7 @@ def _interpret_default() -> bool:
 def _topk_kernel(
     # refs (order: scalar-prefetch–like SMEM scalars first, then tensors)
     nvalid_ref,  # SMEM (1,1) int32 — actual row count of this shard
-    q_ref,  # VMEM [Q, D] queries
+    q_ref,  # VMEM [QB, D] query tile
     x_ref,  # VMEM [BN, D] index block (bf16/f32) or int8
     *rest,
     k: int,
@@ -65,19 +73,21 @@ def _topk_kernel(
         rest = rest[1:]
     if use_mask:
         rowmask_ref = rest[0]  # [1, BN] int32 bitmask
-        qmask_ref = rest[1]  # [Q, 1] int32 bitmask
+        qmask_ref = rest[1]  # [QB, 1] int32 bitmask
         rest = rest[2:]
     out_vals_ref, out_idx_ref, svals_ref, sidx_ref = rest
 
-    i = pl.program_id(0)
+    i = pl.program_id(0)  # row block (outer, slow)
+    qb = pl.program_id(1)  # query tile (inner, fast — x block stays resident)
     num_blocks = pl.num_programs(0)
     q = q_ref[:]
-    qn = q.shape[0]
+    qn = q.shape[0]  # q_block
+    srows = pl.dslice(qb * qn, qn)  # this tile's scratch rows
 
     @pl.when(i == 0)
     def _init():
-        svals_ref[:] = jnp.full((qn, LANES), NEG_INF, jnp.float32)
-        sidx_ref[:] = jnp.full((qn, LANES), -1, jnp.int32)
+        svals_ref[srows, :] = jnp.full((qn, LANES), NEG_INF, jnp.float32)
+        sidx_ref[srows, :] = jnp.full((qn, LANES), -1, jnp.int32)
 
     # ---- score the block on the MXU (fp32 accumulation) ----
     if use_int8:
@@ -113,16 +123,16 @@ def _topk_kernel(
         valid = jnp.logical_and(valid, eligible)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    # ---- fast path: skip merge when no query improves ----
-    block_max = jnp.max(scores, axis=1, keepdims=True)  # [Q,1]
-    kth = svals_ref[:, k - 1 : k]  # [Q,1] current k-th best
+    # ---- fast path: skip merge when no query in this tile improves ----
+    block_max = jnp.max(scores, axis=1, keepdims=True)  # [QB,1]
+    kth = svals_ref[srows, k - 1 : k]  # [QB,1] current k-th best
     needs_merge = jnp.any(block_max > kth)
 
     @pl.when(needs_merge)
     def _merge():
         width = block_rows + LANES
-        mvals = jnp.concatenate([svals_ref[:], scores], axis=1)  # [Q, W]
-        midx = jnp.concatenate([sidx_ref[:], gidx], axis=1)
+        mvals = jnp.concatenate([svals_ref[srows, :], scores], axis=1)  # [QB, W]
+        midx = jnp.concatenate([sidx_ref[srows, :], gidx], axis=1)
         mcols = jax.lax.broadcasted_iota(jnp.int32, (qn, width), 1)
 
         lane_cols = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
@@ -145,13 +155,13 @@ def _topk_kernel(
             new_vals = jnp.where(lane_cols == j, m, new_vals)
             new_idx = jnp.where(lane_cols == j, chosen, new_idx)
             mvals = jnp.where(hit, NEG_INF, mvals)
-        svals_ref[:] = new_vals
-        sidx_ref[:] = new_idx
+        svals_ref[srows, :] = new_vals
+        sidx_ref[srows, :] = new_idx
 
     @pl.when(i == num_blocks - 1)
     def _finalize():
-        out_vals_ref[:] = svals_ref[:, :k]
-        out_idx_ref[:] = sidx_ref[:, :k]
+        out_vals_ref[:] = svals_ref[srows, :k]
+        out_idx_ref[:] = sidx_ref[srows, :k]
 
 
 def _build_call(
@@ -164,13 +174,19 @@ def _build_call(
     use_mask: bool,
     use_int8: bool,
     interpret: bool,
+    q_block: int | None = None,
 ):
     if k > LANES:
         raise ValueError(
             f"fused top-k holds at most k={LANES} candidates per query "
             f"(got k={k}); use the XLA flat_search path for larger k"
         )
+    if q_block is None:
+        q_block = _auto_q_block(qn)
+    if qn % q_block:
+        raise ValueError(f"query count {qn} not a multiple of q_block {q_block}")
     num_blocks = pl.cdiv(n_rows, block_rows)
+    num_q_blocks = qn // q_block
     kernel = functools.partial(
         _topk_kernel,
         k=k,
@@ -178,28 +194,31 @@ def _build_call(
         use_mask=use_mask,
         use_int8=use_int8,
     )
+    # inner (fast) grid axis = query tiles: the x block index is constant
+    # across it, so Pallas keeps the block resident and the index streams
+    # from HBM exactly once per call, independent of Q
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid (1,1)
-        pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_block, d), lambda i, qb: (qb, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, d), lambda i, qb: (i, 0), memory_space=pltpu.VMEM),
     ]
     if use_int8:
         in_specs += [
-            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, qb: (0, i), memory_space=pltpu.VMEM),
         ]
     if use_mask:
         in_specs += [
-            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, qb: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, 1), lambda i, qb: (qb, 0), memory_space=pltpu.VMEM),
         ]
     flops = 2 * qn * d * n_rows
     return pl.pallas_call(
         kernel,
-        grid=(num_blocks,),
+        grid=(num_blocks, num_q_blocks),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda i, qb: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda i, qb: (qb, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((qn, k), jnp.float32),
@@ -218,21 +237,35 @@ def _build_call(
     )
 
 
+def _auto_q_block(qn: int) -> int:
+    """Query-tile height: whole batch up to 64 queries, else 64-wide
+    tiles (sublane-aligned; merge arrays stay ~[64, block+128])."""
+    if qn <= 64:
+        return qn
+    for qb in (64, 32, 16, 8):
+        if qn % qb == 0:
+            return qb
+    return 1
 
-def _auto_block_rows(qn: int, requested: int | None) -> int:
-    """Largest power-of-two block that keeps the kernel inside the
+
+def _auto_block_rows(
+    qn: int, requested: int | None, d: int = 768, itemsize: int = 2
+) -> int:
+    """Largest power-of-two row block that keeps the kernel inside the
     ~16 MB scoped-VMEM budget. The merge path materializes ~3 arrays of
-    [Q, block+LANES] plus the [Q, block] scores and the [block, D]
-    input tile; at Q=128 a 4096-row block overflows (measured: 18.3 MB
-    vs the 16 MB limit), so the block shrinks as the query batch grows.
+    [QB, block+LANES] plus the [QB, block] scores and the [block, D]
+    input tile. With query tiling, QB is capped at 64, so the block no
+    longer shrinks as the query batch grows (the round-1 Q=512 ceiling);
+    only the index dtype moves it (f32 tiles are twice bf16's bytes).
     """
     if requested is not None:
         return requested
-    budget = 11_000_000  # bytes of scoped VMEM left for our tensors
+    qb = _auto_q_block(qn)
+    budget = 10_700_000  # bytes of scoped VMEM left for our tensors
     best = 512
     b = 512
     while b <= 4096:
-        need = b * (16 * qn + 1536) + qn * (LANES * 16 + 1536)
+        need = b * (16 * qb + d * itemsize) + qb * (LANES * 16 + d * itemsize)
         if need > budget:
             break
         best = b
@@ -273,11 +306,17 @@ def fused_topk(
     L2-normalized; ``queries`` [Q, D]. Returns (values [Q,k], ids [Q,k])."""
     if interpret is None:
         interpret = _interpret_default()
-    block_rows = _auto_block_rows(queries.shape[0], block_rows)
+    qn = queries.shape[0]
+    queries = _pad_rows(queries, 8)  # sublane-aligned query tiles
+    block_rows = _auto_block_rows(
+        queries.shape[0], block_rows, queries.shape[1],
+        jnp.dtype(index.dtype).itemsize,
+    )
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
     nvalid = jnp.full((1, 1), n, jnp.int32)
-    return _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret)
+    vals, ids = _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret)
+    return vals[:qn], ids[:qn]
 
 
 @functools.partial(
@@ -312,14 +351,21 @@ def fused_topk_masked(
     """Metadata-filtered fused top-k (row bitmask & query bitmask != 0)."""
     if interpret is None:
         interpret = _interpret_default()
-    block_rows = _auto_block_rows(queries.shape[0], block_rows)
+    qn = queries.shape[0]
+    queries = _pad_rows(queries, 8)
+    query_mask = _pad_rows(query_mask.reshape(-1, 1), 8).reshape(-1)  # pad rows: mask 0
+    block_rows = _auto_block_rows(
+        queries.shape[0], block_rows, queries.shape[1],
+        jnp.dtype(index.dtype).itemsize,
+    )
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = jnp.full((1, 1), n, jnp.int32)
-    return _fused_topk_masked_jit(
+    vals, ids = _fused_topk_masked_jit(
         index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret
     )
+    return vals[:qn], ids[:qn]
 
 
 @functools.partial(
@@ -354,14 +400,19 @@ def fused_topk_int8(
     are exact in bf16, so the only loss is the quantization itself)."""
     if interpret is None:
         interpret = _interpret_default()
-    block_rows = _auto_block_rows(queries.shape[0], block_rows)
+    qn = queries.shape[0]
+    queries = _pad_rows(jnp.asarray(queries, jnp.float32), 8)
+    block_rows = _auto_block_rows(
+        queries.shape[0], block_rows, queries.shape[1], 1
+    )
     n = values.shape[0] if n_valid is None else n_valid
     values = _pad_rows(values, block_rows)
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = jnp.full((1, 1), n, jnp.int32)
-    return _fused_topk_int8_jit(
-        values, scales, jnp.asarray(queries, jnp.float32), nvalid, k, block_rows, interpret
+    vals, ids = _fused_topk_int8_jit(
+        values, scales, queries, nvalid, k, block_rows, interpret
     )
+    return vals[:qn], ids[:qn]
 
 
 @functools.partial(
@@ -401,12 +452,18 @@ def fused_topk_int8_masked(
     (BASELINE configs[4] combined with configs[3])."""
     if interpret is None:
         interpret = _interpret_default()
-    block_rows = _auto_block_rows(queries.shape[0], block_rows)
+    qn = queries.shape[0]
+    queries = _pad_rows(jnp.asarray(queries, jnp.float32), 8)
+    query_mask = _pad_rows(query_mask.reshape(-1, 1), 8).reshape(-1)
+    block_rows = _auto_block_rows(
+        queries.shape[0], block_rows, queries.shape[1], 1
+    )
     n = values.shape[0] if n_valid is None else n_valid
     values = _pad_rows(values, block_rows)
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = jnp.full((1, 1), n, jnp.int32)
-    return _fused_topk_int8_masked_jit(
+    vals, ids = _fused_topk_int8_masked_jit(
         values, scales, row_masks, query_mask, queries, nvalid, k, block_rows, interpret
     )
+    return vals[:qn], ids[:qn]

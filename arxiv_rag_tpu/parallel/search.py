@@ -1,20 +1,24 @@
 """Multi-chip sharded search: shard-local top-k + ICI all_gather merge.
 
 BASELINE configs[5]: the index lives row-sharded across the mesh; each
-chip scans only its HBM shard (optionally with the Pallas fused kernel),
-produces k local candidates per query, and the tiny [nd, Q, k] candidate
-tensor is all_gathered over ICI and merged — per query the global top-k
-is exactly the top-k of the union of shard-local top-ks, so the merge is
-lossless. Communication is O(nd·Q·k), independent of corpus size.
+chip scans only its HBM shard — with the Pallas fused kernel in every
+variant (plain / masked / int8 / int8+masked), falling back to the XLA
+scan off-TPU — produces k local candidates per query, and the tiny
+[nd, Q, k] candidate tensor is all_gathered over ICI and merged — per
+query the global top-k is exactly the top-k of the union of shard-local
+top-ks, so the merge is lossless. Communication is O(nd·Q·k),
+independent of corpus size.
 
 Implemented with ``shard_map`` so the collective placement is explicit;
-the same function runs on the 8-device CPU simulation mesh in tests and
-on a real v5e-8.
+the same function runs on the 8-device CPU simulation mesh in tests
+(kernels in interpret mode) and compiled on a real v5e.
+
+Reference anchor: the retrieval config the reference never implemented
+(``3-chunks/pipeline/config.yaml:62-69``) combined with its per-category
+metadata (BASELINE configs[4]+[5]).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,16 +29,25 @@ from arxiv_rag_tpu.parallel.mesh import DATA_AXIS
 
 
 def _local_scan_xla(shard, queries, row_offset, n_valid, k,
-                    row_masks=None, query_mask=None):
+                    row_masks=None, query_mask=None, scales=None):
     """Per-shard exact scan with padding-row + category masking (XLA)."""
     from arxiv_rag_tpu.ops.topk import matmul_precision
 
-    scores = jnp.dot(
-        queries.astype(shard.dtype),
-        shard.T,
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(shard.dtype),
-    )
+    if scales is not None:
+        # int8 storage, bf16 compute (same recipe as the fused kernel)
+        raw = jnp.dot(
+            queries.astype(jnp.bfloat16),
+            shard.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        scores = raw * scales[None, :]
+    else:
+        scores = jnp.dot(
+            queries.astype(shard.dtype),
+            shard.T,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(shard.dtype),
+        )
     n_rows = shard.shape[0]
     gids = row_offset + jnp.arange(n_rows, dtype=jnp.int32)
     valid = (gids < n_valid)[None, :]
@@ -51,6 +64,41 @@ def _local_scan_xla(shard, queries, row_offset, n_valid, k,
     return vals, out_ids
 
 
+def _pallas_local(shard, q, k, local_valid, block_rows,
+                  row_masks=None, query_mask=None, scales=None,
+                  interpret=False):
+    """Invoke the fused kernel inside shard_map with a traced n_valid.
+
+    Handles all four variants; shard-local row padding to a block
+    multiple pads masks with 0 (ineligible) and scales with 0.
+    """
+    from arxiv_rag_tpu.ops.pallas_topk import _build_call
+
+    qn, d = q.shape
+    n_rows = shard.shape[0]
+    pad = (-n_rows) % block_rows
+    if pad:
+        shard = jnp.pad(shard, ((0, pad), (0, 0)))
+        if row_masks is not None:
+            row_masks = jnp.pad(row_masks, (0, pad))
+        if scales is not None:
+            scales = jnp.pad(scales, (0, pad))
+    use_int8 = scales is not None
+    use_mask = row_masks is not None and query_mask is not None
+    call = _build_call(
+        shard.shape[0], d, qn, k, block_rows, shard.dtype,
+        use_mask, use_int8, interpret,
+    )
+    nvalid = jnp.reshape(local_valid.astype(jnp.int32), (1, 1))
+    args = [nvalid, q.astype(jnp.bfloat16 if use_int8 else shard.dtype), shard]
+    if use_int8:
+        args.append(scales.reshape(1, -1))
+    if use_mask:
+        args.append(row_masks.reshape(1, -1).astype(jnp.int32))
+        args.append(query_mask.reshape(-1, 1).astype(jnp.int32))
+    return call(*args)
+
+
 def sharded_topk(
     index_sharded: jax.Array,
     queries: jax.Array,
@@ -63,44 +111,66 @@ def sharded_topk(
     block_rows: int | None = None,
     row_masks: jax.Array | None = None,
     query_mask: jax.Array | None = None,
+    scales: jax.Array | None = None,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded index. Returns replicated
     (values [Q,k], global ids [Q,k]).
 
     ``row_masks`` ([N] int32 bitmask, row-sharded like the index) with
     ``query_mask`` ([Q] int32, replicated) enables per-category
-    filtering on the sharded path (XLA scan; the fused masked kernel
-    inside shard_map is a later optimization).
+    filtering; ``scales`` ([N] f32, row-sharded) marks an int8-storage
+    index. Every combination runs the fused Pallas kernel when
+    ``use_pallas`` (default: on TPU backends).
     """
     total_rows = index_sharded.shape[0]
     if n_valid is None:
         n_valid = total_rows
     nd = mesh.shape[axis_name]
     shard_rows = total_rows // nd
+    on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = on_tpu
+    if interpret is None:
+        interpret = not on_tpu
 
-    if block_rows is None:
+    masked = row_masks is not None and query_mask is not None
+    int8 = scales is not None
+    qn_real = queries.shape[0]
+    if qn_real % 8:  # sublane-aligned query tiles for the fused kernel
+        pad = (-qn_real) % 8
+        queries = jnp.pad(queries, ((0, pad), (0, 0)))
+        if masked:
+            query_mask = jnp.pad(query_mask, (0, pad))  # pad rows ineligible
+    if block_rows is None and use_pallas:
         from arxiv_rag_tpu.ops.pallas_topk import _auto_block_rows
 
-        block_rows = _auto_block_rows(queries.shape[0], None)
-    masked = row_masks is not None and query_mask is not None
-    if masked:
-        use_pallas = False  # masked sharded path: XLA scan
+        block_rows = _auto_block_rows(
+            queries.shape[0], None, queries.shape[1],
+            1 if int8 else jnp.dtype(index_sharded.dtype).itemsize,
+        )
 
-    def local(shard, q, *mask_args):
+    def local(shard, q, *rest):
+        rest = list(rest)
+        shard_scales = rest.pop(0) if int8 else None
+        rm = rest.pop(0) if masked else None
+        qm = rest.pop(0) if masked else None
         me = jax.lax.axis_index(axis_name)
         offset = (me * shard_rows).astype(jnp.int32)
         if use_pallas:
             # fused kernel masks rows >= local_valid inside the scan
             local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
-            vals, ids = _pallas_local(shard, q, k, local_valid, block_rows)
+            vals, ids = _pallas_local(
+                shard, q, k, local_valid, block_rows,
+                row_masks=rm, query_mask=qm, scales=shard_scales,
+                interpret=interpret,
+            )
             gids = jnp.where(ids >= 0, ids + offset, -1)
         else:
-            rm = mask_args[0] if mask_args else None
-            qm = mask_args[1] if mask_args else None
-            vals, gids = _local_scan_xla(shard, q, offset, n_valid, k,
-                                         row_masks=rm, query_mask=qm)
+            vals, gids = _local_scan_xla(
+                shard, q, offset, n_valid, k,
+                row_masks=rm, query_mask=qm, scales=shard_scales,
+            )
 
         # ---- ICI candidate exchange + lossless merge ----
         all_vals = jax.lax.all_gather(vals, axis_name)  # [nd, Q, k]
@@ -112,36 +182,20 @@ def sharded_topk(
         mgids = jnp.take_along_axis(cand_gids, mpos, axis=1)
         return mvals, mgids
 
+    operands = [index_sharded, queries]
+    in_specs = [P(axis_name, None), P()]
+    if int8:
+        operands.append(scales)
+        in_specs.append(P(axis_name))
     if masked:
-        fn = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(axis_name, None), P(), P(axis_name), P()),
-            out_specs=(P(), P()),
-            check_rep=False,
-        )
-        return fn(index_sharded, queries, row_masks, query_mask)
+        operands += [row_masks, query_mask]
+        in_specs += [P(axis_name), P()]
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_rep=False,
     )
-    return fn(index_sharded, queries)
-
-
-def _pallas_local(shard, q, k, local_valid, block_rows):
-    """Invoke the fused kernel inside shard_map with a traced n_valid."""
-    from arxiv_rag_tpu.ops.pallas_topk import _build_call
-
-    qn, d = q.shape
-    n_rows = shard.shape[0]
-    if n_rows % block_rows:
-        pad = (-n_rows) % block_rows
-        shard = jnp.pad(shard, ((0, pad), (0, 0)))
-    call = _build_call(
-        shard.shape[0], d, qn, k, block_rows, shard.dtype, False, False, False
-    )
-    nvalid = jnp.reshape(local_valid.astype(jnp.int32), (1, 1))
-    return call(nvalid, q.astype(shard.dtype), shard)
+    vals, gids = fn(*operands)
+    return vals[:qn_real], gids[:qn_real]

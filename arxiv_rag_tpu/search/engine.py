@@ -127,11 +127,11 @@ class SearchEngine:
         if qn_pad != qn_real:
             q = jnp.pad(q, ((0, qn_pad - qn_real), (0, 0)))
         n_valid = idx._n_valid
-        # routing (measured on 2M×768 bf16): the fused kernel wins at
-        # small query batches (streaming top-k, no launch overhead);
-        # XLA's matmul+fused-reduce wins ~2x from Q≈128 up. The kernel's
-        # VMEM scratch also caps k at 128.
-        use_pallas = self.use_pallas and k <= 128 and qn_pad <= 64
+        # routing: the q-tiled fused kernel streams the index from HBM
+        # exactly once at any Q (round-1's single-level kernel lost to
+        # XLA from Q≈128 up because its row block shrank with Q — fixed
+        # by the 2-D grid). The VMEM scratch still caps k at 128.
+        use_pallas = self.use_pallas and k <= 128
         with METRICS.timer("search.dense"):
             if idx._mesh is not None:
                 from arxiv_rag_tpu.parallel.search import sharded_topk
@@ -147,6 +147,8 @@ class SearchEngine:
                         "row_masks": idx._device_masks,
                         "query_mask": self._qmask(categories, q.shape[0]),
                     }
+                if idx.dtype == "int8":
+                    mask_kw["scales"] = idx._device_scales
                 vals, rows = sharded_topk(
                     idx._device_values, q, k, idx._mesh,
                     n_valid=n_valid, use_pallas=use_pallas, **mask_kw,

@@ -183,3 +183,69 @@ def test_int8_masked_fused_matches_oracle():
     assert rec >= 0.95  # int8 quantization tolerance
     got = np.asarray(ids)
     assert ((row_masks[got] & want) != 0)[got >= 0].all()
+
+
+def test_fused_multi_tile_large_q(data):
+    """Q > 64 runs the 2-D grid (query tiles inner, index resident per
+    row block) — the round-1 kernel shrank block_rows at large Q and
+    lost to XLA; this exercises the tiled path for exact parity."""
+    index, _, _ = data
+    rng = np.random.default_rng(11)
+    queries = _normalize(rng.standard_normal((256, D), dtype=np.float32))
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    fv, fi = fused_topk(jnp.asarray(index), jnp.asarray(queries), K, block_rows=BLOCK)
+    assert fv.shape == (256, K)
+    r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=1e-5, candidate_scores=np.asarray(fv))
+    assert r == 1.0
+    np.testing.assert_allclose(np.asarray(fv), ov, atol=1e-5)
+
+
+def test_fused_odd_query_count_pads_and_slices(data):
+    """Non-tile-aligned Q (e.g. 100) pads internally and slices back."""
+    index, _, _ = data
+    rng = np.random.default_rng(12)
+    queries = _normalize(rng.standard_normal((100, D), dtype=np.float32))
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    fv, fi = fused_topk(jnp.asarray(index), jnp.asarray(queries), K, block_rows=BLOCK)
+    assert fv.shape == (100, K)
+    r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=1e-5, candidate_scores=np.asarray(fv))
+    assert r == 1.0
+
+
+def test_fused_masked_multi_tile(data):
+    """Masked variant across multiple query tiles: per-query masks land
+    on the right tile rows."""
+    index, _, cats = data
+    rng = np.random.default_rng(13)
+    qn = 128
+    queries = _normalize(rng.standard_normal((qn, D), dtype=np.float32))
+    row_masks = make_row_masks(cats, CATEGORIES)
+    # alternate wanted category per query
+    qmask = np.array([1 << (i % len(CATEGORIES)) for i in range(qn)], np.uint32)
+    fv, fi = fused_topk_masked(
+        jnp.asarray(index), jnp.asarray(row_masks.astype(np.int32)),
+        jnp.asarray(qmask.astype(np.int32)), jnp.asarray(queries), K,
+        block_rows=BLOCK,
+    )
+    fi = np.asarray(fi)
+    for i in range(qn):
+        want = CATEGORIES[i % len(CATEGORIES)]
+        got = set(cats[fi[i][fi[i] >= 0]])
+        assert got <= {want}, (i, want, got)
+    # oracle parity on the eligible subset
+    for i in range(0, qn, 17):
+        elig = np.nonzero(row_masks & qmask[i])[0]
+        ov, oi = cosine_topk_numpy(index[elig], queries[i : i + 1], K)
+        np.testing.assert_allclose(np.sort(np.asarray(fv)[i]), np.sort(ov[0]), atol=1e-5)
+
+
+def test_fused_int8_multi_tile(data):
+    index, _, _ = data
+    rng = np.random.default_rng(14)
+    queries = _normalize(rng.standard_normal((192, D), dtype=np.float32))
+    vals, scales = quantize_int8(jnp.asarray(index))
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    fv, fi = fused_topk_int8(vals, scales, jnp.asarray(queries), K, block_rows=BLOCK)
+    assert fv.shape == (192, K)
+    r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=5e-3, candidate_scores=np.asarray(fv))
+    assert r > 0.9  # int8 quantization tolerance, same as single-tile test

@@ -114,3 +114,119 @@ def test_sharded_masked_matches_masked_oracle(data):
     # every returned id is eligible
     got = np.asarray(gids)
     assert ((row_masks[got] & want) != 0)[got >= 0].all()
+
+
+# ---- fused-kernel (Pallas, interpret) variants inside shard_map --------
+# Round-1 gap: the masked/int8 sharded routes fell back to the XLA scan,
+# so the production layout (sharded + filtered + int8) never ran the
+# fused kernel. These run every variant through shard_map with the
+# kernel in interpret mode — the same code Mosaic-compiles on TPU.
+
+def _pallas_kw():
+    return dict(use_pallas=True, interpret=True)
+
+
+def test_sharded_pallas_plain(data):
+    index, queries = data
+    mesh = data_mesh(8)
+    sharded, n_valid = shard_index_rows(index, mesh)
+    vals, gids = sharded_topk(sharded, jnp.asarray(queries), K, mesh,
+                              n_valid=n_valid, **_pallas_kw())
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    r = recall_at_k(np.asarray(gids), oi, ov, tie_tol=1e-5,
+                    candidate_scores=np.asarray(vals))
+    assert r == 1.0
+    np.testing.assert_allclose(np.asarray(vals), ov, atol=1e-5)
+
+
+def test_sharded_pallas_masked(data):
+    index, queries = data
+    rng = np.random.default_rng(4)
+    categories = rng.integers(0, 3, N)
+    row_masks = (1 << categories).astype(np.int32)
+    want = 0b10
+    mesh = data_mesh(8)
+    sharded, n_valid = shard_index_rows(index, mesh)
+    rm_sharded, _ = shard_index_rows(row_masks.reshape(-1, 1), mesh)
+    vals, gids = sharded_topk(
+        sharded, jnp.asarray(queries), K, mesh, n_valid=n_valid,
+        row_masks=rm_sharded.reshape(-1), query_mask=jnp.full((Q,), want, jnp.int32),
+        **_pallas_kw(),
+    )
+    eligible = (row_masks & want) != 0
+    sub_ids = np.nonzero(eligible)[0]
+    ov, oi_local = cosine_topk_numpy(index[eligible], queries, K)
+    rec = recall_at_k(np.asarray(gids), sub_ids[oi_local], ov, tie_tol=1e-5,
+                      candidate_scores=np.asarray(vals, np.float32))
+    assert rec == 1.0
+    got = np.asarray(gids)
+    assert ((row_masks[got] & want) != 0)[got >= 0].all()
+
+
+def test_sharded_pallas_int8(data):
+    from arxiv_rag_tpu.ops import quantize_int8
+
+    index, queries = data
+    mesh = data_mesh(8)
+    vals8, scales = quantize_int8(jnp.asarray(index))
+    sharded, n_valid = shard_index_rows(vals8, mesh)
+    s_sharded, _ = shard_index_rows(np.asarray(scales).reshape(-1, 1), mesh)
+    vals, gids = sharded_topk(
+        sharded, jnp.asarray(queries), K, mesh, n_valid=n_valid,
+        scales=s_sharded.reshape(-1), **_pallas_kw(),
+    )
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    r = recall_at_k(np.asarray(gids), oi, ov, tie_tol=5e-3,
+                    candidate_scores=np.asarray(vals, np.float32))
+    assert r > 0.9
+
+
+def test_sharded_pallas_int8_masked_matches_xla_sharded(data):
+    """The full production layout: sharded + int8 + category-filtered,
+    fused kernel vs the XLA sharded scan — identical ids."""
+    from arxiv_rag_tpu.ops import quantize_int8
+
+    index, queries = data
+    rng = np.random.default_rng(5)
+    categories = rng.integers(0, 4, N)
+    row_masks = (1 << categories).astype(np.int32)
+    want = 0b1001
+    mesh = data_mesh(8)
+    vals8, scales = quantize_int8(jnp.asarray(index))
+    sharded, n_valid = shard_index_rows(vals8, mesh)
+    s_sharded, _ = shard_index_rows(np.asarray(scales).reshape(-1, 1), mesh)
+    rm_sharded, _ = shard_index_rows(row_masks.reshape(-1, 1), mesh)
+    kw = dict(
+        n_valid=n_valid, scales=s_sharded.reshape(-1),
+        row_masks=rm_sharded.reshape(-1),
+        query_mask=jnp.full((Q,), want, jnp.int32),
+    )
+    pv, pg = sharded_topk(sharded, jnp.asarray(queries), K, mesh,
+                          **kw, **_pallas_kw())
+    xv, xg = sharded_topk(sharded, jnp.asarray(queries), K, mesh,
+                          **kw, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=2e-2)
+    got = np.asarray(pg)
+    assert ((row_masks[got] & want) != 0)[got >= 0].all()
+
+
+def test_engine_mesh_int8_with_categories():
+    """SearchEngine end-to-end on a mesh-sharded int8 index with a
+    category filter (round 1 raised NotImplementedError at to_device)."""
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(6)
+    embs = rng.standard_normal((96, 32)).astype(np.float32)
+    cats = ["cs.LG" if i % 2 else "cs.AI" for i in range(96)]
+    idx_mesh = build_index(embs, categories=cats, dtype="int8")
+    idx_mesh.to_device(mesh=data_mesh(8))
+    idx_single = build_index(embs, categories=cats, dtype="int8")
+    q = embs[:8] / np.linalg.norm(embs[:8], axis=1, keepdims=True)
+    meshed = SearchEngine(idx_mesh, use_pallas=False)
+    single = SearchEngine(idx_single, use_pallas=False)
+    v1, r1 = meshed.search_embeddings(q, k=5, categories=["cs.LG"])
+    v2, r2 = single.search_embeddings(q, k=5, categories=["cs.LG"])
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(v1, v2, atol=1e-4)
+    assert (np.asarray(r1) % 2 == 1).all()
