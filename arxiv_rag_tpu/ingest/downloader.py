@@ -116,12 +116,27 @@ class Downloader:
         self._ledger_lock = threading.Lock()
         self._count_lock = threading.Lock()
         self._processed = 0
+        # per-category metadata JSONL locks (``downloader.py:127-128``)
+        self._meta_locks: dict[str, threading.Lock] = {}
+        self._meta_locks_guard = threading.Lock()
 
     # -- ledgers / state ---------------------------------------------------
 
     def _append_ledger(self, path: Path, record: dict) -> None:
         with self._ledger_lock:
             with open(path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    def save_metadata(self, category: str, record: dict) -> None:
+        """Per-category metadata JSONL for downstream indexing,
+        thread-safe with one lock per category
+        (``downloader.py:130-144`` save_metadata)."""
+        meta_dir = self.root / "_metadata"
+        meta_dir.mkdir(parents=True, exist_ok=True)
+        with self._meta_locks_guard:
+            lock = self._meta_locks.setdefault(category, threading.Lock())
+        with lock:
+            with open(meta_dir / f"{category}_papers.jsonl", "a") as f:
                 f.write(json.dumps(record) + "\n")
 
     def load_completed(self) -> set[str]:
@@ -230,6 +245,14 @@ class Downloader:
                         self._ok_ledger,
                         {"paper_id": pid, "category": cat, "version": info, "ts": time.time()},
                     )
+                    self.save_metadata(cat, {
+                        "paper_id": pid,
+                        "category": cat,
+                        "year_month": pid.split(".")[0],
+                        "pdf_path": str(paper_paths(self.root, cat, pid)),
+                        "version": info,
+                        "ts": time.time(),
+                    })
                 elif info == "stopped":
                     result.stopped_early = True
                 else:

@@ -168,20 +168,39 @@ def main() -> None:
     qps = q_batch / tpu_s
     gbps = n_rows * dim * (2 if on_tpu else 4) / tpu_s / 1e9
     log(f"timed search (fetched): {tpu_s*1e3:.2f} ms/batch -> {qps:.1f} qps, {gbps:.0f} GB/s index stream")
-    # achievable-bandwidth reference: a pure 1-pass reduction of the index
+    # achievable-bandwidth reference: best of (a) a 1-pass reduction and
+    # (b) an MXU-driven ones-matmul with the kernel's own access pattern.
+    # Round 1 used only (a), which measured BELOW the kernel's streaming
+    # rate (57 vs 75 GB/s — a ">100% of speed-of-light" absurdity); the
+    # matmul reference reads the index the way the kernel does.
     red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    _ = np.asarray(red(index))
-    sol_lat = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(red(index))
-        sol_lat.append(time.perf_counter() - t0)
-    sol_gbps = index.shape[0] * dim * (2 if on_tpu else 4) / sorted(sol_lat)[1] / 1e9
-    log(f"pure-read reference: {sol_gbps:.0f} GB/s -> kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of speed-of-light")
+    ones8 = jnp.ones((dim, 8), index.dtype)
+    mm = jax.jit(
+        lambda x, o: jnp.sum(
+            jax.lax.dot_general(
+                x, o, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        )
+    )
+    sol_gbps = 0.0
+    for name, fn in (("reduce", lambda: red(index)), ("ones-matmul", lambda: mm(index, ones8))):
+        _ = np.asarray(fn())
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(fn())
+            ts.append(time.perf_counter() - t0)
+        g = index.shape[0] * dim * (2 if on_tpu else 4) / sorted(ts)[1] / 1e9
+        log(f"pure-read reference ({name}): {g:.0f} GB/s")
+        sol_gbps = max(sol_gbps, g)
+    frac_sol = min(1.0, gbps / max(sol_gbps, 1e-9))
+    log(f"kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of measured read bandwidth")
 
-    # --- serving throughput at a large query batch (XLA path: measured
-    # ~2x the fused kernel from Q≈128 up; the engine routes by Q) ------------
+    # --- serving throughput at a large query batch: q-tiled fused kernel
+    # vs XLA's fused matmul+reduce (round 1: XLA won ~2x here because the
+    # single-level kernel's row block shrank with Q) ------------------------
     q512_qps = 0.0
+    q512_fused_qps = 0.0
     if on_tpu:
         q512 = make_normal(jax.random.PRNGKey(7), 512)
         f512 = jax.jit(lambda i, qq: flat_search(i, qq, k))
@@ -193,6 +212,20 @@ def main() -> None:
             lat512.append(time.perf_counter() - t0)
         q512_qps = 512 / sorted(lat512)[len(lat512) // 2]
         log(f"serving throughput @Q=512 (xla): {q512_qps:.0f} qps")
+        try:
+            q512b = q512.astype(jnp.bfloat16)
+            _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows,
+                                      block_rows=BLOCK_ROWS)[0])
+            latf = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows,
+                                          block_rows=BLOCK_ROWS)[0])
+                latf.append(time.perf_counter() - t0)
+            q512_fused_qps = 512 / sorted(latf)[len(latf) // 2]
+            log(f"serving throughput @Q=512 (fused, q-tiled): {q512_fused_qps:.0f} qps")
+        except Exception as exc:  # noqa: BLE001
+            log(f"fused @Q=512 failed: {exc}")
 
     # --- recall oracle: on-device fp32 exact scan ----------------------------
     ov_dev, oi_dev = jax.jit(
@@ -205,11 +238,6 @@ def main() -> None:
     )
     log(f"device fp32 oracle recall@{k} = {recall:.4f}")
 
-    # --- int8 index variant (BASELINE configs[4]): half the bytes -------------
-    # quantize in row slices (a whole-matrix quantize temporarily doubles
-    # the fp32 footprint -> HBM OOM next to the bf16 copy), then free fp32
-    int8_qps = 0.0
-    int8_recall = 0.0
     deadline = float(os.environ.get("ARAG_BENCH_DEADLINE", 460.0))
 
     def past_deadline(phase: str) -> bool:
@@ -219,6 +247,61 @@ def main() -> None:
             return True
         return False
 
+    # --- masked (category-filtered) fused variant (BASELINE configs[4]) ------
+    # synthetic 8-category masks; recall vs the masked fp32 oracle. Round 1
+    # never ran the masked kernels compiled on hardware.
+    masked_qps = 0.0
+    masked_recall = 0.0
+    row_masks_dev = None
+    qmask_dev = None
+    if on_tpu and not past_deadline("masked variant"):
+        from arxiv_rag_tpu.ops.pallas_topk import fused_topk_masked
+        from arxiv_rag_tpu.ops.topk import masked_flat_search
+
+        kmask = jax.random.PRNGKey(3)
+        row_masks_dev = (
+            1 << jax.random.randint(kmask, (index.shape[0],), 0, 8)
+        ).astype(jnp.int32)
+        want = 0b00000111  # 3 of 8 categories eligible (~37% of rows)
+        qmask_dev = jnp.full((q_batch,), want, jnp.int32)
+        try:
+            mv, mi = fused_topk_masked(index, row_masks_dev, qmask_dev,
+                                       queries_dev.astype(jnp.bfloat16), k,
+                                       n_valid=n_rows, block_rows=BLOCK_ROWS)
+            _ = np.asarray(mv)
+            latm = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                mv, mi = fused_topk_masked(index, row_masks_dev, qmask_dev,
+                                           queries_dev.astype(jnp.bfloat16), k,
+                                           n_valid=n_rows, block_rows=BLOCK_ROWS)
+                _ = np.asarray(mv)
+                latm.append(time.perf_counter() - t0)
+            masked_qps = q_batch / sorted(latm)[len(latm) // 2]
+            # masked fp32 oracle (device): same mask semantics, exact scan
+            momv, momi = jax.jit(
+                lambda x, rm, qm, q: masked_flat_search(x, rm, qm, q, k)
+            )(
+                index_f32,
+                row_masks_dev[:n_rows].astype(jnp.uint32),
+                qmask_dev.astype(jnp.uint32),
+                queries_dev,
+            )
+            masked_recall = recall_at_k(
+                np.asarray(mi), np.asarray(momi), np.asarray(momv), tie_tol=5e-3,
+                candidate_scores=np.asarray(mv, np.float32),
+            )
+            log(f"masked fused: {masked_qps:.1f} qps, recall@{k} = {masked_recall:.4f}")
+        except Exception as exc:  # noqa: BLE001
+            log(f"masked fused failed: {exc}")
+
+    # --- int8 index variant (BASELINE configs[4]): half the bytes -------------
+    # quantize in row slices (a whole-matrix quantize temporarily doubles
+    # the fp32 footprint -> HBM OOM next to the bf16 copy), then free fp32
+    int8_qps = 0.0
+    int8_recall = 0.0
+    int8m_qps = 0.0
+    int8m_recall = 0.0
     if on_tpu and not past_deadline("int8 variant"):
         from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8
         from arxiv_rag_tpu.ops.quant import quantize_int8
@@ -254,6 +337,35 @@ def main() -> None:
             candidate_scores=np.asarray(iv, np.float32),
         )
         log(f"int8 recall@{k} = {int8_recall:.4f}")
+
+        # --- int8 + masked: the full production layout in one kernel ------
+        if row_masks_dev is not None and not past_deadline("int8+masked variant"):
+            from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8_masked
+
+            try:
+                imv, imi = fused_topk_int8_masked(
+                    i8_vals, i8_scales, row_masks_dev, qmask_dev,
+                    queries_dev, k, n_valid=n_rows, block_rows=BLOCK_ROWS,
+                )
+                _ = np.asarray(imv)
+                lat8m = []
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    imv, imi = fused_topk_int8_masked(
+                        i8_vals, i8_scales, row_masks_dev, qmask_dev,
+                        queries_dev, k, n_valid=n_rows, block_rows=BLOCK_ROWS,
+                    )
+                    _ = np.asarray(imv)
+                    lat8m.append(time.perf_counter() - t0)
+                int8m_qps = q_batch / sorted(lat8m)[len(lat8m) // 2]
+                int8m_recall = recall_at_k(
+                    np.asarray(imi), np.asarray(momi), np.asarray(momv),
+                    tie_tol=2e-2, candidate_scores=np.asarray(imv, np.float32),
+                )
+                log(f"int8+masked fused: {int8m_qps:.1f} qps, "
+                    f"recall@{k} = {int8m_recall:.4f}")
+            except Exception as exc:  # noqa: BLE001
+                log(f"int8+masked fused failed: {exc}")
 
     # --- CPU baseline: timed synchronously on the idle host ------------------
     cpu_thread.join()
@@ -296,6 +408,35 @@ def main() -> None:
         chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
         log(f"encoder: {chunks_per_s:.1f} chunks/s")
 
+    # --- CPU encoder baseline: the reference's actual stack (torch CPU
+    # workers, generate_embeddings_parallel.py:40-74) — evidences the
+    # BASELINE ">10x CPU embedding throughput" target with a measured
+    # number instead of an assumption
+    cpu_chunks_per_s = 0.0
+    if (os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1"
+            and not past_deadline("cpu encoder baseline")):
+        try:
+            import torch
+            from transformers import MPNetConfig, MPNetModel
+
+            torch.set_num_threads(os.cpu_count() or 1)
+            with torch.no_grad():
+                tm = MPNetModel(MPNetConfig())  # random init — offline, same arch
+                tm.eval()
+                tb, tseq = 8, 128
+                tids = torch.randint(4, 30000, (tb, tseq))
+                tmask = torch.ones((tb, tseq), dtype=torch.long)
+                tm(input_ids=tids, attention_mask=tmask)  # warm
+                t0 = time.perf_counter()
+                titers = 3
+                for _ in range(titers):
+                    tm(input_ids=tids, attention_mask=tmask)
+                cpu_chunks_per_s = tb * titers / (time.perf_counter() - t0)
+            log(f"cpu encoder (torch, {os.cpu_count()} threads): "
+                f"{cpu_chunks_per_s:.2f} chunks/s")
+        except Exception as exc:  # noqa: BLE001
+            log(f"cpu encoder baseline failed: {exc}")
+
     print(
         json.dumps(
             {
@@ -307,9 +448,18 @@ def main() -> None:
                 "oracle_xcheck": round(float(xcheck), 4),
                 "int8_qps": round(int8_qps, 2),
                 "int8_recall_at_10": round(float(int8_recall), 4),
+                "masked_qps": round(masked_qps, 2),
+                "masked_recall_at_10": round(float(masked_recall), 4),
+                "int8_masked_qps": round(int8m_qps, 2),
+                "int8_masked_recall_at_10": round(float(int8m_recall), 4),
                 "cpu_exact_qps_scaled": round(cpu_qps, 3),
                 "embed_chunks_per_sec": round(chunks_per_s, 1),
+                "cpu_encoder_chunks_per_sec": round(cpu_chunks_per_s, 2),
+                "encoder_vs_cpu": round(chunks_per_s / cpu_chunks_per_s, 1)
+                if cpu_chunks_per_s else 0.0,
                 "qps_at_q512_xla": round(q512_qps, 1),
+                "qps_at_q512_fused": round(q512_fused_qps, 1),
+                "fraction_of_read_bw": round(float(frac_sol), 3),
                 "kernel": kernel_impl,
                 "backend": jax.default_backend(),
             }

@@ -119,3 +119,29 @@ def test_dedup_keeps_alpha_first(tmp_path):
     assert not (root / "cs.LG" / "2401" / "2401.00001.pdf").exists()
     ledger = [json.loads(l) for l in (root / "_successful_downloads.jsonl").read_text().splitlines()]
     assert [r["category"] for r in ledger] == ["cs.AI"]
+
+
+def test_per_category_metadata_jsonl(tmp_path):
+    """Parity with reference save_metadata (downloader.py:130-144):
+    one _metadata/{category}_papers.jsonl per category, appended on
+    every successful download."""
+    import json
+
+    from arxiv_rag_tpu.ingest.downloader import Downloader, DownloaderConfig
+
+    def fake_fetch(url, dest):
+        dest.write_bytes(b"%PDF-1.4 fake body")
+
+    d = Downloader(DownloaderConfig(output_dir=tmp_path, max_workers=2),
+                   fetcher=fake_fetch)
+    papers = [("cs.LG", "2301.00001"), ("cs.CV", "2301.00002"),
+              ("cs.LG", "2302.00003")]
+    res = d.download(papers)
+    assert res.succeeded == 3
+    lg = (tmp_path / "_metadata" / "cs.LG_papers.jsonl").read_text().splitlines()
+    cv = (tmp_path / "_metadata" / "cs.CV_papers.jsonl").read_text().splitlines()
+    assert len(lg) == 2 and len(cv) == 1
+    rec = json.loads(lg[0])
+    assert rec["category"] == "cs.LG"
+    assert rec["year_month"] == rec["paper_id"].split(".")[0]
+    assert rec["pdf_path"].endswith(".pdf")
