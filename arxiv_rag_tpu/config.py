@@ -77,6 +77,10 @@ class ExtractionConfig:
     very_large_pages: int = 500
     ocr_enabled: bool = False
     ocr_accept_quality: float = 0.6
+    # dotted "module.path:callable" implementing the OCR protocol
+    # (pipeline/extract/ocr.py); empty = no OCR backend, scanned PDFs
+    # fail loudly into the error ledger
+    ocr_plugin: str = ""
     max_retries: int = 2
     cache_enabled: bool = True
     expected_chars_per_page: float = 2500.0  # scoring prior, pdf_extractor.py:7618

@@ -12,10 +12,13 @@ Strategies here:
      catches documents where the layout heuristics hurt;
   3. ``external``  — optional fitz/pdfplumber/pypdf if present in the
      image (gated import; absent here, kept for portability);
-  4. OCR has no backend in this image (no tesseract); scanned PDFs are
+  4. OCR via a pluggable hook (see extract/ocr.py for the protocol):
+     OCR-first for scanned PDFs (accept at ``ocr_accept_score``,
+     reference ``pdf_extractor.py:318-332``) and OCR-rescue when the
+     best text strategy scores below ``ocr_rescue_score`` (:399-414).
+     Without a hook (no tesseract in this image), scanned PDFs are
      flagged ``pdf_type='scanned'`` and reported as failed with a
-     distinct error, never silently empty (reference OCR path:
-     ``pdf_extractor.py:5727-5875``).
+     distinct error, never silently empty.
 
 Cache: JSON sidecar keyed by (path, mtime, size) like
 ``pdf_extractor.py:194-242``.
@@ -180,11 +183,19 @@ class PDFExtractor:
         accept_score: float = 0.80,
         min_score: float = 0.25,
         use_cache: bool = True,
+        ocr: Callable[..., str] | None = None,
+        ocr_accept_score: float = 0.6,
+        ocr_rescue_score: float = 0.45,
     ) -> None:
         self.cache_dir = Path(cache_dir) if cache_dir else None
         self.accept_score = accept_score
         self.min_score = min_score
         self.use_cache = use_cache and cache_dir is not None
+        # ocr(data, *, width, height, bits_per_component, colorspace) -> str
+        # (extract/ocr.py documents the protocol + a tesseract adapter)
+        self.ocr = ocr
+        self.ocr_accept_score = ocr_accept_score
+        self.ocr_rescue_score = ocr_rescue_score
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
 
@@ -257,12 +268,22 @@ class PDFExtractor:
         except pdfcore.PDFError as exc:
             return ExtractionResult("", [], "none", 0.0, "unknown", False,
                                     error=f"structure: {exc}")
+        best: tuple[float, str, list[str], QualityReport] | None = None
         if pdf_type == "scanned":
-            return ExtractionResult(
-                "", [], "none", 0.0, "scanned", False,
-                metadata={"num_pages": n_pages},
-                error="scanned PDF; no OCR backend in this environment",
-            )
+            if self.ocr is None:
+                return ExtractionResult(
+                    "", [], "none", 0.0, "scanned", False,
+                    metadata={"num_pages": n_pages},
+                    error="scanned PDF; no OCR backend in this environment",
+                )
+            # OCR-first for scanned documents (pdf_extractor.py:318-332):
+            # accept immediately at ocr_accept_score, else let the text
+            # strategies compete (they rarely beat OCR on a scan)
+            ocr_cand = self._try_ocr(doc, n_pages)
+            if ocr_cand is not None:
+                best = ocr_cand
+                if best[0] >= self.ocr_accept_score:
+                    return self._finalize(best, pdf_type, t0)
 
         strategies: list[tuple[str, Callable[[], list[str]]]] = [
             ("native", lambda: _strategy_native(doc)),
@@ -271,7 +292,6 @@ class PDFExtractor:
         for name, fn in _external_strategies():
             strategies.append((name, lambda fn=fn: fn(buf)))
 
-        best: tuple[float, str, list[str], QualityReport] | None = None
         for name, fn in strategies:
             try:
                 pages = fn()
@@ -285,11 +305,30 @@ class PDFExtractor:
             if rep.score >= self.accept_score:
                 break  # early exit — the deliberate departure from :352-372
 
+        # OCR-rescue: a hook is available and the best text strategy is
+        # still poor (pdf_extractor.py:399-414's low-quality redo)
+        if (
+            self.ocr is not None
+            and (best is None or best[0] < self.ocr_rescue_score)
+            and (best is None or best[1] != "ocr")
+        ):
+            ocr_cand = self._try_ocr(doc, n_pages)
+            if ocr_cand is not None and (best is None or ocr_cand[0] > best[0]):
+                best = ocr_cand
+
         if best is None:
             return ExtractionResult(
                 "", [], "none", 0.0, pdf_type, False,
                 metadata={"num_pages": n_pages}, error="all strategies failed",
             )
+        return self._finalize(best, pdf_type, t0)
+
+    def _finalize(
+        self,
+        best: tuple[float, str, list[str], QualityReport],
+        pdf_type: str,
+        t0: float,
+    ) -> ExtractionResult:
         score, method, pages, rep = best
         validation = validate_extraction(pages)
         meta = {
@@ -312,3 +351,52 @@ class PDFExtractor:
             metadata=meta,
             error=None if success else f"quality {score:.2f} below min {self.min_score}",
         )
+
+    # -- OCR ----------------------------------------------------------------
+
+    @staticmethod
+    def page_images(doc: pdfcore.Document, page: dict) -> list[pdfcore.Stream]:
+        """Image XObjects reachable from a page's resources."""
+        res = doc.resolve(page.get("Resources")) or {}
+        xobjects = doc.resolve(res.get("XObject")) or {}
+        out: list[pdfcore.Stream] = []
+        for ref in xobjects.values():
+            obj = doc.resolve(ref)
+            if (
+                isinstance(obj, pdfcore.Stream)
+                and str(doc.resolve(obj.dict.get("Subtype"))) == "Image"
+            ):
+                out.append(obj)
+        return out
+
+    def _try_ocr(
+        self, doc: pdfcore.Document, n_pages: int
+    ) -> tuple[float, str, list[str], QualityReport] | None:
+        """Run the OCR hook over every page's images; None on failure."""
+        try:
+            pages_text: list[str] = []
+            for page in doc.pages():
+                parts: list[str] = []
+                for img in self.page_images(doc, page):
+                    d = img.dict
+                    try:
+                        data = img.data()
+                    except pdfcore.PDFError:
+                        continue
+                    txt = self.ocr(
+                        data,
+                        width=int(doc.resolve(d.get("Width", 0))),
+                        height=int(doc.resolve(d.get("Height", 0))),
+                        bits_per_component=int(doc.resolve(d.get("BitsPerComponent", 8))),
+                        colorspace=str(doc.resolve(d.get("ColorSpace", ""))),
+                    )
+                    if txt and txt.strip():
+                        parts.append(txt.strip())
+                pages_text.append("\n".join(parts))
+        except Exception as exc:  # noqa: BLE001 — OCR is best-effort
+            log.warning("ocr hook failed: %s", exc)
+            return None
+        if not any(p.strip() for p in pages_text):
+            return None
+        rep = score_text("\n\n".join(pages_text), num_pages=max(1, n_pages))
+        return (rep.score, "ocr", pages_text, rep)

@@ -76,6 +76,16 @@ def _make_sentence_encoder(cfg: Config):
         return None
 
 
+def _load_ocr(cfg: Config):
+    """Resolve the configured OCR plugin (extraction.ocr_plugin), None
+    when OCR is disabled. A bad spec raises — never a silent downgrade."""
+    if not cfg.extraction.ocr_enabled or not cfg.extraction.ocr_plugin:
+        return None
+    from arxiv_rag_tpu.pipeline.extract.ocr import load_ocr_plugin
+
+    return load_ocr_plugin(cfg.extraction.ocr_plugin)
+
+
 def _components(cfg: Config) -> tuple[PDFExtractor, TextCleaner, Chunker]:
     """Construct (and per-process cache) the pipeline components —
     unlike ``worker.py:244-313``, which re-initializes per *paper*.
@@ -110,6 +120,8 @@ def _components(cfg: Config) -> tuple[PDFExtractor, TextCleaner, Chunker]:
             extractor=PDFExtractor(
                 cache_dir=cfg.paths.resolve("cache_dir") if cfg.extraction.cache_enabled else None,
                 accept_score=cfg.extraction.accept_quality,
+                ocr=_load_ocr(cfg),
+                ocr_accept_score=cfg.extraction.ocr_accept_quality,
             ),
             cleaner=TextCleaner(),
             chunker=Chunker(chunk_cfg, sentence_encoder=sentence_encoder),

@@ -75,6 +75,18 @@ class ProgressDB:
         done = self.done_set(stage)
         return [i for i in item_ids if i not in done]
 
+    def failures(self, stage: str) -> list[tuple[str, str]]:
+        """(item_id, error) rows marked failed — the queryable error
+        ledger (reference analog: status='failed' + error column,
+        ``pipeline.py:115-124``)."""
+        with self._lock:
+            cur = self._conn.execute(
+                "SELECT item_id, error FROM progress "
+                "WHERE stage=? AND status='failed'",
+                (stage,),
+            )
+            return cur.fetchall()
+
     def stats(self, stage: str) -> dict[str, int]:
         with self._lock:
             cur = self._conn.execute(

@@ -153,3 +153,75 @@ def simple_text_pdf(pages_text: list[str], **kw) -> bytes:
             y -= 12
         contents.append(content_stream_for_lines(lines))
     return make_pdf(contents, **kw)
+
+
+def glyph_bitmap(lines: list[str]) -> tuple[bytes, int, int]:
+    """Machine-glyph 1-bit bitmap: 8x8 cells, all eight rows of a cell
+    carry the char's code point as a bit pattern (decoded by
+    arxiv_rag_tpu.pipeline.extract.ocr.toy_bitmap_ocr)."""
+    width_chars = max((len(ln) for ln in lines), default=1)
+    width_chars = max(width_chars, 1)
+    rows = bytearray()
+    for ln in lines:
+        padded = ln.ljust(width_chars)
+        row = bytes(ord(c) & 0xFF for c in padded)
+        for _ in range(8):
+            rows += row
+    return bytes(rows), width_chars * 8, len(lines) * 8
+
+
+def scanned_pdf(pages_text: list[str]) -> bytes:
+    """A 'scanned' PDF: each page is a single image XObject (no text
+    operators at all, so detect_pdf_type reports 'scanned')."""
+    n_pages = len(pages_text)
+    objects: dict[int, bytes] = {}
+    stream_objs: dict[int, tuple[bytes, bytes]] = {}
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+    first_img = 3 + n_pages
+    first_content = first_img + n_pages
+    for i, text in enumerate(pages_text):
+        img_num = first_img + i
+        content_num = first_content + i
+        objects[3 + i] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /XObject << /Im1 {img_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        data, w, h = glyph_bitmap(text.split("\n"))
+        payload = zlib.compress(data)
+        idict = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Length {len(payload)} /Filter /FlateDecode >>"
+        ).encode()
+        stream_objs[img_num] = (idict, payload)
+        cstream = f"q {w} 0 0 {h} 72 600 cm /Im1 Do Q".encode()
+        stream_objs[content_num] = (
+            f"<< /Length {len(cstream)} >>".encode(), cstream)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(f"{num} 0 obj\n".encode())
+        buf.extend(body)
+        buf.extend(b"\nendobj\n")
+
+    for num in sorted(objects):
+        emit(num, objects[num])
+    for num in sorted(stream_objs):
+        sdict, payload = stream_objs[num]
+        emit(num, sdict + b"\nstream\n" + payload + b"\nendstream")
+    max_num = max(list(objects) + list(stream_objs))
+    xref_pos = len(buf)
+    buf.extend(f"xref\n0 {max_num + 1}\n".encode())
+    buf.extend(b"0000000000 65535 f \n")
+    for num in range(1, max_num + 1):
+        buf.extend(f"{offsets[num]:010d} 00000 n \n".encode())
+    buf.extend(
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF".encode()
+    )
+    return bytes(buf)
