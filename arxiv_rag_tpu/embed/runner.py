@@ -67,7 +67,14 @@ class Embedder:
         normalize: bool = True,
         mesh=None,
         native_tokenizer=None,
+        quant_int8: bool = False,
     ) -> None:
+        if quant_int8:
+            # W8A8 forward: dense kernels to per-channel int8 once here;
+            # activations quantize dynamically inside the jitted forward
+            from arxiv_rag_tpu.models.mpnet import quantize_params_int8
+
+            params = quantize_params_int8(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

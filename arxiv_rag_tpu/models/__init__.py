@@ -5,6 +5,7 @@ from arxiv_rag_tpu.models.mpnet import (
     forward,
     init_params,
     mean_pool,
+    quantize_params_int8,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "forward",
     "encode",
     "mean_pool",
+    "quantize_params_int8",
 ]

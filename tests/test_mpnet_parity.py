@@ -230,3 +230,55 @@ def test_from_safetensors_checkpoint_dir(tmp_path):
                        attention_mask=__import__("torch").tensor(np.asarray(mask, np.int64))
                        ).last_hidden_state.numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+
+def test_int8_forward_embedding_parity():
+    """W8A8 forward (quantize_params_int8) vs the fp32 forward: sentence
+    embeddings must stay nearly parallel (the retrieval-relevant
+    contract), and self-retrieval ordering must hold on a toy corpus."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.models import (
+        ModelConfig, encode, init_params, quantize_params_int8,
+    )
+
+    cfg = ModelConfig(vocab_size=512, hidden_size=64, num_hidden_layers=4,
+                      num_attention_heads=4, intermediate_size=128,
+                      max_position_embeddings=96)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params_int8(params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (16, 48)), jnp.int32)
+    mask = jnp.ones((16, 48), jnp.int32)
+    e32 = np.asarray(encode(params, ids, mask, cfg))
+    e8 = np.asarray(encode(qparams, ids, mask, cfg))
+    cos = (e32 * e8).sum(axis=1)  # both L2-normalized
+    assert cos.min() > 0.995, cos.min()
+    # ordering: each int8 embedding's nearest fp32 embedding is itself
+    sims = e8 @ e32.T
+    assert (sims.argmax(axis=1) == np.arange(16)).all()
+
+
+def test_embedder_quant_int8_flag():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from arxiv_rag_tpu.embed import Embedder
+    from arxiv_rag_tpu.models import ModelConfig, init_params
+    from arxiv_rag_tpu.tokenize import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.toy()
+    cfg = ModelConfig(vocab_size=len(tok.vocab) + 2, hidden_size=32,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      intermediate_size=64, max_position_embeddings=64,
+                      pad_token_id=tok.pad_id)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    texts = ["dense retrieval on accelerators", "fused kernels stream the index"]
+    kw = dict(buckets=(32,), batch_size=4, compute_dtype=jnp.float32)
+    base = Embedder(params, cfg, tok, **kw).encode_texts(texts)
+    quant = Embedder(params, cfg, tok, quant_int8=True, **kw).encode_texts(texts)
+    cos = (base * quant).sum(axis=1)
+    assert cos.min() > 0.99, cos
