@@ -130,33 +130,50 @@ def _topk_kernel(
 
     @pl.when(needs_merge)
     def _merge():
-        width = block_rows + LANES
-        mvals = jnp.concatenate([svals_ref[srows, :], scores], axis=1)  # [QB, W]
-        midx = jnp.concatenate([sidx_ref[srows, :], gidx], axis=1)
-        mcols = jax.lax.broadcasted_iota(jnp.int32, (qn, width), 1)
+        # Early-exit extract/insert merge. The scratch is kept SORTED
+        # (descending; init satisfies this), so merging a block is:
+        # while any query's remaining block max beats its current k-th
+        # score, extract that max (lowest column wins ties → matches
+        # lax.top_k order) and shift-insert it into the sorted scratch.
+        # A query inserts at most k times per block, and on random data
+        # the expected trip count is 1-3 — vs the previous fixed k
+        # extraction passes over [QB, block+128], which dominated
+        # serving-batch latency (at Q=512 nearly every block fires a
+        # merge for someone in the tile).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
 
-        lane_cols = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
-        new_vals = jnp.full((qn, LANES), NEG_INF, jnp.float32)
-        new_idx = jnp.full((qn, LANES), -1, jnp.int32)
-        for j in range(k):  # static unroll, K small
-            m = jnp.max(mvals, axis=1, keepdims=True)  # [Q,1]
-            at_max = mvals == m
-            # lowest column wins ties → matches lax.top_k index order
+        def cond(state):
+            mv, sv, si, m = state
+            return jnp.any(m > sv[:, k - 1 : k])
+
+        def body(state):
+            mv, sv, si, m = state
+            at_max = mv == m
             sel_col = jnp.min(
-                jnp.where(at_max, mcols, _HUGE_COL), axis=1, keepdims=True
+                jnp.where(at_max, cols, _HUGE_COL), axis=1, keepdims=True
             )
-            hit = mcols == sel_col
-            chosen = jnp.sum(jnp.where(hit, midx, 0), axis=1, keepdims=True)
-            # fewer than k eligible rows: exhausted slots (m == -inf)
-            # must carry id -1, not a duplicate of an extracted row
-            chosen = jnp.where(m > NEG_INF, chosen, -1)
-            # column-j write as a vectorized select (scatter is not
-            # available in Mosaic)
-            new_vals = jnp.where(lane_cols == j, m, new_vals)
-            new_idx = jnp.where(lane_cols == j, chosen, new_idx)
-            mvals = jnp.where(hit, NEG_INF, mvals)
-        svals_ref[srows, :] = new_vals
-        sidx_ref[srows, :] = new_idx
+            hit = cols == sel_col
+            g = jnp.sum(jnp.where(hit, gidx, 0), axis=1, keepdims=True)
+            improve = m > sv[:, k - 1 : k]  # [QB,1] per-query gate
+            # insertion rank: after existing >= entries (earlier blocks /
+            # earlier extractions have smaller global ids, so ties keep
+            # lax.top_k's lowest-index-first order)
+            pos = jnp.sum((sv >= m).astype(jnp.int32), axis=1, keepdims=True)
+            shifted_v = jnp.concatenate([sv[:, :1], sv[:, :-1]], axis=1)
+            shifted_i = jnp.concatenate([si[:, :1], si[:, :-1]], axis=1)
+            nv = jnp.where(lane < pos, sv, jnp.where(lane == pos, m, shifted_v))
+            ni = jnp.where(lane < pos, si, jnp.where(lane == pos, g, shifted_i))
+            sv = jnp.where(improve, nv, sv)
+            si = jnp.where(improve, ni, si)
+            mv = jnp.where(hit & improve, NEG_INF, mv)
+            return mv, sv, si, jnp.max(mv, axis=1, keepdims=True)
+
+        _, sv, si, _ = jax.lax.while_loop(
+            cond, body,
+            (scores, svals_ref[srows, :], sidx_ref[srows, :], block_max),
+        )
+        svals_ref[srows, :] = sv
+        sidx_ref[srows, :] = si
 
     @pl.when(i == num_blocks - 1)
     def _finalize():
@@ -182,7 +199,9 @@ def _build_call(
             f"(got k={k}); use the XLA flat_search path for larger k"
         )
     if q_block is None:
-        q_block = _auto_q_block(qn)
+        q_block = _auto_q_block(
+            qn, block_rows, d, np.dtype(jnp.dtype(x_dtype)).itemsize
+        )
     if qn % q_block:
         raise ValueError(f"query count {qn} not a multiple of q_block {q_block}")
     num_blocks = pl.cdiv(n_rows, block_rows)
@@ -237,13 +256,32 @@ def _build_call(
     )
 
 
-def _auto_q_block(qn: int) -> int:
-    """Query-tile height: whole batch up to 64 queries, else 64-wide
-    tiles (sublane-aligned; merge arrays stay ~[64, block+128])."""
+def _vmem_need(q_block: int, block_rows: int, d: int, itemsize: int) -> int:
+    """Rough scoped-VMEM bytes for one (block, tile) step: the [BN, D]
+    input tile plus the merge/score arrays that scale with QB·BN."""
+    return block_rows * (16 * q_block + d * itemsize) + q_block * (
+        LANES * 16 + d * itemsize
+    )
+
+
+_VMEM_BUDGET = 10_700_000  # bytes of scoped VMEM left for our tensors
+
+
+def _auto_q_block(
+    qn: int, block_rows: int | None = None, d: int = 768, itemsize: int = 2
+) -> int:
+    """Query-tile height: whole batch up to 64 queries, else the widest
+    aligned tile that fits the VMEM budget for the given row block
+    (callers may force block_rows — e.g. 128-tile × 4096-block bf16
+    overflows and must shrink to 64). Measured on 2M×768 bf16 @ Q=512
+    (early-exit merge): 128/2048 10419 qps ≈ 64/4096 10302 > 32/4096
+    8622, so wider tiles win once the batch splits."""
     if qn <= 64:
         return qn
-    for qb in (64, 32, 16, 8):
-        if qn % qb == 0:
+    for qb in (128, 64, 32, 16, 8):
+        if qn % qb:
+            continue
+        if block_rows is None or _vmem_need(qb, block_rows, d, itemsize) <= _VMEM_BUDGET:
             return qb
     return 1
 
@@ -260,13 +298,11 @@ def _auto_block_rows(
     """
     if requested is not None:
         return requested
-    qb = _auto_q_block(qn)
-    budget = 10_700_000  # bytes of scoped VMEM left for our tensors
+    qb = _auto_q_block(qn, None, d, itemsize)
     best = 512
     b = 512
     while b <= 4096:
-        need = b * (16 * qb + d * itemsize) + qb * (LANES * 16 + d * itemsize)
-        if need > budget:
+        if _vmem_need(qb, b, d, itemsize) > _VMEM_BUDGET:
             break
         best = b
         b *= 2

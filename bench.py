@@ -213,14 +213,14 @@ def main() -> None:
         q512_qps = 512 / sorted(lat512)[len(lat512) // 2]
         log(f"serving throughput @Q=512 (xla): {q512_qps:.0f} qps")
         try:
+            # auto tiling (q_block=128 / block_rows=2048 at this shape);
+            # forcing BLOCK_ROWS=4096 here would shrink the query tile
             q512b = q512.astype(jnp.bfloat16)
-            _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows,
-                                      block_rows=BLOCK_ROWS)[0])
+            _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows)[0])
             latf = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows,
-                                          block_rows=BLOCK_ROWS)[0])
+                _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows)[0])
                 latf.append(time.perf_counter() - t0)
             q512_fused_qps = 512 / sorted(latf)[len(latf) // 2]
             log(f"serving throughput @Q=512 (fused, q-tiled): {q512_fused_qps:.0f} qps")
