@@ -658,6 +658,15 @@ def cmd_status(args) -> int:
     if db_path.exists():
         with ProgressDB(db_path) as db:
             out["chunk_stage"] = db.stats("chunk")
+            fails = db.failures("chunk")
+            if fails:
+                # surface the error ledger (capped) so operators see WHY
+                out["failed_papers"] = [
+                    {"paper_id": pid, "error": (err or "")[:200]}
+                    for pid, err in fails[:50]
+                ]
+                if len(fails) > 50:
+                    out["failed_papers_truncated"] = len(fails) - 50
     for name in ("corpus.json", "manifest.json"):
         mp = Path(args.corpus) / name
         if mp.exists():

@@ -330,3 +330,45 @@ def test_query_batch_bucketing_consistency():
         assert vals.shape == (qn, 4) and rows.shape == (qn, 4)
         # self-match: each query's own row is its top hit
         assert (rows[:, 0] == np.arange(qn)).all()
+
+
+def test_engine_edge_cases(stack):
+    """Edge probes: empty query batch, k > corpus size through text
+    search, and a category filter matching nothing."""
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype="float32")
+    eng = SearchEngine(index, embedder=emb, corpus=corpus)
+
+    assert eng.search([], k=5) == []  # empty batch is a no-op, not a crash
+
+    res = eng.search([texts[2]], k=len(texts) + 40)  # k > corpus
+    assert res[0][0].row == 2
+    assert len(res[0]) == len(texts)  # padding/-inf rows never hydrate
+
+    # a real category with zero matching rows after masking: build an
+    # index where cs.DB exists but give the query an impossible combo by
+    # masking all rows of one category out via quality of the row set
+    only_lg = build_index(vectors[:3], categories=["cs.LG"] * 3, dtype="float32")
+    eng2 = SearchEngine(only_lg, embedder=emb, corpus=None)
+    vals, rows = eng2.search_embeddings(vectors[:2], k=2, categories=["cs.LG"])
+    assert (rows >= 0).any()
+    with pytest.raises(KeyError):
+        eng2.search_embeddings(vectors[:2], k=2, categories=["cs.CV"])
+
+
+def test_engine_mask_excludes_everything():
+    """query_mask & row_masks == 0 for every row: empty result set, not
+    garbage rows."""
+    import numpy as np
+
+    from arxiv_rag_tpu.index.store import DenseIndex
+    from arxiv_rag_tpu.search.engine import SearchEngine
+    from arxiv_rag_tpu.index import build_index
+
+    rng = np.random.default_rng(1)
+    embs = rng.standard_normal((50, 16)).astype(np.float32)
+    idx = build_index(embs, categories=["cs.LG"] * 50,
+                      category_names=["cs.LG", "cs.CV"], dtype="float32")
+    eng = SearchEngine(idx, use_pallas=False)
+    vals, rows = eng.search_embeddings(embs[:2], k=5, categories=["cs.CV"])
+    assert (rows == -1).all() or not np.isfinite(vals).any()
