@@ -367,14 +367,18 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 log(f"int8+masked fused failed: {exc}")
 
-    # --- CPU baseline: timed synchronously on the idle host ------------------
+    # --- CPU baseline: timed synchronously on the idle host. Best of 3
+    # runs — a single run is hostage to transient load on this 1-core
+    # host and has produced 0.28-1.8 qps for the same work across rounds
     cpu_thread.join()
     host_slice, host_q = cpu_result["host_slice"], cpu_result["host_q"]
-    t0 = time.perf_counter()
-    hv, hi = cosine_topk_numpy(host_slice, host_q, k)
-    cpu_slice_s = time.perf_counter() - t0
+    cpu_slice_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hv, hi = cosine_topk_numpy(host_slice, host_q, k)
+        cpu_slice_s = min(cpu_slice_s, time.perf_counter() - t0)
     cpu_qps = q_batch / (cpu_slice_s * (n_rows / cpu_rows))
-    log(f"cpu scan {cpu_rows} rows: {cpu_slice_s:.2f}s -> scaled {cpu_qps:.2f} qps @{n_rows}")
+    log(f"cpu scan {cpu_rows} rows: best {cpu_slice_s:.2f}s -> scaled {cpu_qps:.2f} qps @{n_rows}")
 
     # host numpy cross-check of the device oracle on the same slice
     xcheck = -1.0
