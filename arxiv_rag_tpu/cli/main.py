@@ -826,6 +826,10 @@ def _add_serve(sub) -> None:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--shard", action="store_true",
                    help="row-shard the index over the device mesh")
+    p.add_argument("--batch-window-ms", type=float, default=4.0,
+                   help="micro-batch coalescing window (0 = serialize directly)")
+    p.add_argument("--max-batch", type=int, default=512,
+                   help="dispatch immediately once this many queries are queued")
 
 
 def cmd_serve(args) -> int:
@@ -836,6 +840,7 @@ def cmd_serve(args) -> int:
         engine, args.host, args.port,
         index_stats={"rows": engine.index.num_rows, "dim": engine.index.dim,
                      "dtype": engine.index.dtype},
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
     )
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
     try:

@@ -1,0 +1,141 @@
+"""Micro-batching in the serve layer: concurrent requests coalesce into
+batched engine calls; every request gets exactly its own results back;
+param groups never mix; per-group failures don't poison other groups."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from arxiv_rag_tpu.search.engine import SearchResult
+from arxiv_rag_tpu.serve import MicroBatcher, serve_in_thread
+
+
+class FakeEngine:
+    """Echoes each query back as a SearchResult; records call shapes."""
+
+    def __init__(self, delay=0.0):
+        self.calls: list[tuple[int, int, tuple | None, object]] = []
+        self.delay = delay
+
+    def search(self, queries, k=10, categories=None, hybrid_alpha=None):
+        self.calls.append(
+            (len(queries), k, tuple(categories) if categories else None, hybrid_alpha)
+        )
+        if self.delay:
+            time.sleep(self.delay)
+        if any(q == "BOOM" for q in queries):
+            raise RuntimeError("engine exploded")
+        return [
+            [SearchResult(row=i, score=1.0, chunk_id=q, text=f"echo:{q}")]
+            for i, q in enumerate(queries)
+        ]
+
+
+def test_batcher_coalesces_and_routes():
+    eng = FakeEngine(delay=0.02)
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=20.0)
+    results = {}
+
+    def client(i):
+        out = b.search([f"q{i}"], 10, None, None)
+        results[i] = out[0][0].chunk_id
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    b.close()
+    # every request got ITS OWN query back
+    assert results == {i: f"q{i}" for i in range(16)}
+    # and the engine saw fewer, larger calls (not 16 x 1)
+    assert len(eng.calls) < 16
+    assert max(c[0] for c in eng.calls) > 1
+
+
+def test_batcher_groups_by_params():
+    eng = FakeEngine()
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=15.0)
+    outs = {}
+
+    def client(i, k, cats):
+        outs[i] = b.search([f"q{i}"], k, cats, None)[0][0].chunk_id
+
+    threads = [
+        threading.Thread(target=client, args=(i, 5 if i % 2 else 7,
+                                              ["cs.LG"] if i < 4 else None))
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    b.close()
+    assert outs == {i: f"q{i}" for i in range(8)}
+    # no engine call mixed ks or categories
+    for n, k, cats, alpha in eng.calls:
+        assert k in (5, 7)
+    keys = {(k, cats) for _, k, cats, _ in eng.calls}
+    assert len(keys) >= 3  # the distinct (k, cats) combos stayed separate
+
+
+def test_batcher_group_failure_is_isolated():
+    eng = FakeEngine()
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=15.0)
+    errs, oks = [], []
+
+    def bad():
+        try:
+            b.search(["BOOM"], 3, None, None)
+        except RuntimeError as exc:
+            errs.append(str(exc))
+
+    def good():
+        oks.append(b.search(["fine"], 4, None, None)[0][0].chunk_id)
+
+    ts = [threading.Thread(target=bad), threading.Thread(target=good)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    b.close()
+    assert errs == ["engine exploded"]
+    assert oks == ["fine"]  # different (k) group: unaffected
+
+
+def test_batcher_window_zero_is_direct():
+    eng = FakeEngine()
+    b = MicroBatcher(eng, batch_window_ms=0.0)
+    out = b.search(["direct"], 10, None, None)
+    assert out[0][0].chunk_id == "direct"
+    assert eng.calls == [(1, 10, None, None)]
+    b.close()
+
+
+def test_http_concurrent_requests_batch():
+    eng = FakeEngine(delay=0.01)
+    httpd, thread = serve_in_thread(eng, batch_window_ms=25.0)
+    host, port = httpd.server_address
+    got = {}
+
+    def client(i):
+        body = json.dumps({"queries": [f"q{i}"], "k": 10}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            got[i] = json.loads(resp.read())["results"][0][0]["chunk_id"]
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    httpd.batcher.close()
+    httpd.shutdown()
+    assert got == {i: f"q{i}" for i in range(12)}
+    assert len(eng.calls) < 12, eng.calls  # HTTP requests coalesced
