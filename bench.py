@@ -412,6 +412,50 @@ def main() -> None:
         chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
         log(f"encoder: {chunks_per_s:.1f} chunks/s")
 
+    # --- W8A8 encoder via the Pallas s8s8 MXU kernel (ops/pallas_matmul.py):
+    # v5e runs int8 matmuls at 2x the bf16 MAC rate, and the encoder is
+    # MXU-limited; XLA's int8 lowering measured neutral (CLAUDE.md), so
+    # measure the forced-int8-path kernel against the bf16 number above
+    w8a8_chunks_per_s = 0.0
+    w8a8_cos = 0.0
+    if (on_tpu and chunks_per_s > 0
+            and os.environ.get("ARAG_BENCH_SKIP_W8A8") != "1"
+            and not past_deadline("w8a8 encoder")):
+        from arxiv_rag_tpu.models import quantize_params_int8
+
+        os.environ["ARAG_W8A8_PALLAS"] = "1"
+        try:
+            qparams = quantize_params_int8(params)
+            qenc_fn = jax.jit(
+                lambda p, i, m: encode(p, i, m, cfg, compute_dtype=jnp.bfloat16)
+            )
+            qwarm: dict = {}
+
+            def _qwarm():
+                try:
+                    qwarm["out"] = np.asarray(qenc_fn(qparams, ids_in, mask_in))
+                    qwarm["ok"] = True
+                except Exception as exc:  # noqa: BLE001
+                    qwarm["err"] = exc
+
+            qt = threading.Thread(target=_qwarm, daemon=True)
+            qt.start()
+            qt.join(compile_timeout)
+            if not qwarm.get("ok"):
+                log(f"w8a8 encoder not up ({qwarm.get('err', 'compile timeout')}); skipped")
+            else:
+                log("w8a8 encoder compiled")
+                qout = qwarm["out"]
+                w8a8_cos = float(np.mean(np.sum(qout * np.asarray(out), axis=-1)))
+                t0 = time.perf_counter()
+                for _ in range(enc_iters):
+                    _ = np.asarray(qenc_fn(qparams, ids_in, mask_in))
+                w8a8_chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
+                log(f"w8a8 encoder (pallas): {w8a8_chunks_per_s:.1f} chunks/s, "
+                    f"cos vs bf16 = {w8a8_cos:.5f}")
+        finally:
+            os.environ.pop("ARAG_W8A8_PALLAS", None)
+
     # --- CPU encoder baseline: the reference's actual stack (torch CPU
     # workers, generate_embeddings_parallel.py:40-74) — evidences the
     # BASELINE ">10x CPU embedding throughput" target with a measured
@@ -458,6 +502,8 @@ def main() -> None:
                 "int8_masked_recall_at_10": round(float(int8m_recall), 4),
                 "cpu_exact_qps_scaled": round(cpu_qps, 3),
                 "embed_chunks_per_sec": round(chunks_per_s, 1),
+                "embed_w8a8_chunks_per_sec": round(w8a8_chunks_per_s, 1),
+                "w8a8_cos_vs_bf16": round(w8a8_cos, 5),
                 "cpu_encoder_chunks_per_sec": round(cpu_chunks_per_s, 2),
                 "encoder_vs_cpu": round(chunks_per_s / cpu_chunks_per_s, 1)
                 if cpu_chunks_per_s else 0.0,
