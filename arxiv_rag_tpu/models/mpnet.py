@@ -176,15 +176,18 @@ def _dense_int8(x: jnp.ndarray, p: MPNetParams) -> jnp.ndarray:
     Lowering: XLA by default (measured throughput-neutral vs bf16 on
     v5e — it never picks the double-rate s8 MXU path for these shapes);
     ``ARAG_W8A8_PALLAS=1`` routes through the fused Pallas kernel
-    (ops/pallas_matmul.py) that forces s8xs8->s32 on the MXU."""
+    (ops/pallas_matmul.py), which measured ~25% SLOWER end-to-end on
+    v5e (see that module's header for the A/B numbers) — the env knob
+    exists so future toolchains can be re-measured cheaply."""
+    from arxiv_rag_tpu.ops.pallas_matmul import pallas_w8a8_enabled, w8a8_dense
+
+    if pallas_w8a8_enabled():
+        # fused-quant kernel: activations quantize in VMEM, never in HBM
+        return w8a8_dense(x, p, out_dtype=x.dtype)
     a32 = x.astype(jnp.float32)
     a_scale = jnp.max(jnp.abs(a32), axis=-1, keepdims=True) / 127.0
     a_scale = jnp.maximum(a_scale, 1e-8)
     x_q = jnp.round(a32 / a_scale).astype(jnp.int8)
-    from arxiv_rag_tpu.ops.pallas_matmul import pallas_w8a8_enabled, w8a8_dense
-
-    if pallas_w8a8_enabled():
-        return w8a8_dense(x_q, a_scale, p, out_dtype=x.dtype)
     y = jax.lax.dot_general(
         x_q,
         p["kernel_q"],

@@ -5,7 +5,19 @@ not the bottleneck — throughput is flat from seq 128 to 384).  v5e's MXU
 executes s8xs8->s32 at twice the bf16 MAC rate, but XLA lowers the
 encoder's int8 dots (``models/mpnet.py::_dense_int8``) through a
 conversion path that measured throughput-neutral vs bf16 (CLAUDE.md
-round-2 note).  This kernel forces the native int8 systolic-array path:
+round-2 note).  This kernel forces an explicit int8 contraction:
+
+MEASURED NEGATIVE RESULT (2026-08-16, v5e, interleaved A/B, full
+all-mpnet-base-v2 512x128 bf16): bf16 2682 / w8a8-XLA 2623 /
+w8a8-Pallas-fused-quant 2021 chunks/s — the Pallas route is a
+consistent ~25% LOSS, and XLA int8 is neutral.  Mosaic does not hit
+the double-rate s8 MXU path for these (K=768/3072) shapes, and every
+pallas_call boundary forfeits XLA fusion of the surrounding
+LayerNorm/GELU/residual elementwise work.  The kernel therefore ships
+DEFAULT-OFF (``ARAG_W8A8_PALLAS=1`` to opt in); bench.py keeps a
+deadline-gated phase so a future libtpu/Mosaic that lowers s8s8 to the
+double-rate path shows up in the round logs.  Kernel design below kept
+for that future:
 
 - operands stay int8 end to end: x_q [M, K] (per-row dynamically
   quantized activations), w_q [K, N] (per-output-channel statically
@@ -73,11 +85,51 @@ def _w8a8_kernel(x_ref, w_ref, as_ref, ws_ref, b_ref, o_ref):
     o_ref[:] = (y + b_ref[:]).astype(o_ref.dtype)
 
 
-def _pick_block_m(m: int, k: int) -> int:
+def _w8a8_fq_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xq_ref, as_ref):
+    """Fused-quant variant: activations arrive bf16/f32 and are quantized
+    per-row INSIDE the kernel into VMEM scratch on the first n-tile, then
+    re-used for every weight column block.  This keeps the int8
+    activations out of HBM entirely — the measured failure mode of the
+    pre-quantized route at encoder scale (M=65536: the extra int8
+    write+read per dense layer cost ~20% end-to-end vs bf16)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quantize():
+        a32 = x_ref[:].astype(jnp.float32)
+        a_scale = jnp.max(jnp.abs(a32), axis=-1, keepdims=True) / 127.0
+        a_scale = jnp.maximum(a_scale, 1e-8)
+        xq_ref[:] = jnp.round(a32 / a_scale).astype(jnp.int8)
+        as_ref[:] = a_scale
+
+    acc = jax.lax.dot_general(
+        xq_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * as_ref[:] * ws_ref[:]
+    o_ref[:] = (y + b_ref[:]).astype(o_ref.dtype)
+
+
+def _pick_block_m(m: int, k: int, fused_quant: bool = False) -> int:
     """Activation-tile height: big tiles amortize weight re-streaming
     ((M/bm) * K * N bytes total), bounded by VMEM (x tile is bm*K int8,
-    double-buffered). 1024x3072 int8 = 3 MB/buffer is the ceiling."""
-    cap = 1024 if k <= 1024 else 512
+    double-buffered). 1024x3072 int8 = 3 MB/buffer is the ceiling.
+
+    The fused-quant variant is hungrier per row: the bf16 x tile
+    (double-buffered), the int8 scratch, AND the fp32 cast temp the
+    quantize step materializes — ~9 bytes/element, so the tile must
+    shrink (measured: 512x3072 fused-quant overflows scoped VMEM by
+    1.56 MB on v5e)."""
+    if fused_quant:
+        cap = 32
+        for bm in (1024, 512, 256, 128, 64):
+            if bm * k * 9 <= 9_000_000:
+                cap = bm
+                break
+    else:
+        cap = 1024 if k <= 1024 else 512
     if m >= cap:
         return cap
     return max(32, ((m + 31) // 32) * 32)  # int8 sublane tile is 32
@@ -116,6 +168,78 @@ def _w8a8_jit(x_q, a_scale, w_q, w_scale, bias, block_m, block_n, out_dtype, int
         ),
         interpret=interpret,
     )(x_q, w_q, a_scale, w_scale, bias)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret"))
+def _w8a8_fq_jit(x, w_q, w_scale, bias, block_m, block_n, out_dtype, interpret):
+    m, k = x.shape
+    n = w_q.shape[1]
+    grid = (m // block_m, n // block_n)
+    return pl.pallas_call(
+        _w8a8_fq_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, k), jnp.int8),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * 2 + (m // block_m) * k * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_q, w_scale, bias)
+
+
+def w8a8_matmul_fused_quant(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    out_dtype: jnp.dtype = jnp.float32,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """W8A8 matmul with per-row activation quantization fused into the
+    kernel: x [M, K] bf16/f32 in, int8 math on the MXU, dequant + bias
+    out.  Semantics match quantize-then-``w8a8_matmul`` exactly (same
+    absmax/127 scale, same round-half-even)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    m, k = x.shape
+    kw, n = w_q.shape
+    if k != kw:
+        raise ValueError(f"contraction mismatch: x K={k}, w K={kw}")
+    if k > _MAX_FULL_K:
+        raise ValueError(f"K={k} exceeds the full-K VMEM budget ({_MAX_FULL_K})")
+    if k % 128 or n % 128:
+        raise ValueError(f"K and N must be multiples of 128 (got K={k}, N={n})")
+    if block_m is None:
+        block_m = _pick_block_m(m, k, fused_quant=True)
+    if block_n is None:
+        block_n = _pick_block_n(n)
+    w_scale = jnp.asarray(w_scale, jnp.float32).reshape(1, n)
+    if bias is None:
+        bias = jnp.zeros((1, n), jnp.float32)
+    bias = jnp.asarray(bias, jnp.float32).reshape(1, n)
+    pad = (-m) % block_m
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    out = _w8a8_fq_jit(x, w_q, w_scale, bias, block_m, block_n,
+                       jnp.dtype(out_dtype), interpret)
+    return out[:m]
 
 
 def w8a8_matmul(
@@ -169,22 +293,22 @@ def w8a8_matmul(
 
 
 def w8a8_dense(
-    x_q: jnp.ndarray,
-    a_scale: jnp.ndarray,
+    x: jnp.ndarray,
     p: dict,
     *,
     out_dtype: jnp.dtype,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Apply a quantized dense layer (``quantize_params_int8`` leaf dict
-    with kernel_q [K, N] / kscale [1, N] / bias [N]) to pre-quantized
-    activations of any leading shape: [..., K] -> [..., N]."""
-    lead = x_q.shape[:-1]
-    k = x_q.shape[-1]
+    with kernel_q [K, N] / kscale [1, N] / bias [N]) to UNQUANTIZED
+    activations of any leading shape: [..., K] -> [..., N].  Activation
+    quantization happens inside the kernel (fused-quant variant), so the
+    int8 activations never round-trip through HBM."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
     n = p["kernel_q"].shape[-1]
-    y = w8a8_matmul(
-        x_q.reshape(-1, k),
-        a_scale.reshape(-1, 1),
+    y = w8a8_matmul_fused_quant(
+        x.reshape(-1, k),
         p["kernel_q"],
         p["kscale"].reshape(1, n),
         jnp.asarray(p["bias"], jnp.float32).reshape(1, n),

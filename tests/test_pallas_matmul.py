@@ -12,7 +12,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from arxiv_rag_tpu.ops.pallas_matmul import w8a8_dense, w8a8_matmul
+from arxiv_rag_tpu.ops.pallas_matmul import (
+    w8a8_dense,
+    w8a8_matmul,
+    w8a8_matmul_fused_quant,
+)
 
 
 def _xla_ref(x_q, a_scale, w_q, w_scale, bias):
@@ -82,24 +86,42 @@ def test_w8a8_matmul_shape_guards():
         )
 
 
+def _quantize_act(x):
+    a32 = jnp.asarray(x, jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(a32), axis=-1, keepdims=True) / 127.0, 1e-8)
+    return jnp.round(a32 / a_scale).astype(jnp.int8), a_scale
+
+
+@pytest.mark.parametrize("m,k,n", [(48, 768, 768), (64, 3072, 768)])
+def test_fused_quant_matches_prequantized(m, k, n):
+    """In-kernel activation quantization == quantize-then-matmul."""
+    rng = np.random.default_rng(m + n)
+    x = jnp.asarray(rng.normal(0, 0.7, (m, k)), jnp.float32)
+    w_q = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    w_scale = jnp.asarray(rng.uniform(1e-4, 1e-2, (1, n)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.5, (1, n)), jnp.float32)
+    x_q, a_scale = _quantize_act(x)
+    want = np.asarray(w8a8_matmul(x_q, a_scale, w_q, w_scale, bias, interpret=True))
+    got = np.asarray(w8a8_matmul_fused_quant(x, w_q, w_scale, bias, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_w8a8_dense_leading_shape():
-    """[B, S, K] path used inside the encoder scan."""
+    """[B, S, K] path used inside the encoder scan (unquantized input)."""
     rng = np.random.default_rng(7)
     b, s, k, n = 2, 24, 128, 256
-    x_q = jnp.asarray(rng.integers(-127, 128, (b, s, k)), jnp.int8)
-    a_scale = jnp.asarray(rng.uniform(1e-3, 2e-2, (b, s, 1)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 0.7, (b, s, k)), jnp.float32)
     p = {
         "kernel_q": jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8),
         "kscale": jnp.asarray(rng.uniform(1e-4, 1e-2, (1, n)), jnp.float32),
         "bias": jnp.asarray(rng.normal(0, 0.5, (n,)), jnp.float32),
     }
-    got = np.asarray(
-        w8a8_dense(x_q, a_scale, p, out_dtype=jnp.float32, interpret=True)
-    )
+    got = np.asarray(w8a8_dense(x, p, out_dtype=jnp.float32, interpret=True))
     assert got.shape == (b, s, n)
+    x_q, a_scale = _quantize_act(x.reshape(-1, k))
     want = _xla_ref(
-        x_q.reshape(-1, k),
-        a_scale.reshape(-1, 1),
+        x_q,
+        a_scale,
         p["kernel_q"],
         p["kscale"],
         np.asarray(p["bias"])[None, :],
