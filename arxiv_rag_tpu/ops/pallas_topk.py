@@ -60,11 +60,12 @@ def _interpret_default() -> bool:
 def _topk_kernel(
     # refs (order: scalar-prefetch–like SMEM scalars first, then tensors)
     nvalid_ref,  # SMEM (1,1) int32 — actual row count of this shard
-    q_ref,  # VMEM [QB, D] query tile
+    q_ref,  # VMEM [Q, D] FULL query batch (resident; tiles sliced in-kernel)
     x_ref,  # VMEM [BN, D] index block (bf16/f32) or int8
     *rest,
     k: int,
     block_rows: int,
+    q_block: int,
     use_mask: bool,
     use_int8: bool,
 ):
@@ -73,16 +74,21 @@ def _topk_kernel(
         rest = rest[1:]
     if use_mask:
         rowmask_ref = rest[0]  # [1, BN] int32 bitmask
-        qmask_ref = rest[1]  # [QB, 1] int32 bitmask
+        qmask_ref = rest[1]  # [Q, 1] int32 bitmask (resident, like q)
         rest = rest[2:]
     out_vals_ref, out_idx_ref, svals_ref, sidx_ref = rest
 
     i = pl.program_id(0)  # row block (outer, slow)
     qb = pl.program_id(1)  # query tile (inner, fast — x block stays resident)
     num_blocks = pl.num_programs(0)
-    q = q_ref[:]
-    qn = q.shape[0]  # q_block
-    srows = pl.dslice(qb * qn, qn)  # this tile's scratch rows
+    qn = q_block
+    srows = pl.dslice(qb * qn, qn)  # this tile's scratch/query rows
+    # the FULL query batch sits in VMEM with a constant BlockSpec (it is
+    # tiny — Q=512 x 768 bf16 = 786 KB) and tiles are sliced here: a
+    # per-tile BlockSpec re-DMAs the same 4 tiles from HBM on every row
+    # block (~770 MB of redundant query traffic per 2M-row call at
+    # Q=512, ~26% of the index stream)
+    q = q_ref[srows, :]
 
     @pl.when(i == 0)
     def _init():
@@ -114,12 +120,15 @@ def _topk_kernel(
             precision=matmul_precision(x_ref.dtype),
         )
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (qn, block_rows), 1)
+    # [1, BN] column/global-row ids — identical for every query row, so
+    # keep one row and let broadcasting widen ([qn, BN] iotas wasted VPU
+    # registers and VMEM)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
     gidx = cols + i * block_rows  # global row ids of this block
 
     valid = gidx < nvalid_ref[0, 0]
     if use_mask:
-        eligible = (rowmask_ref[:] & qmask_ref[:]) != 0  # [1,BN]&[Q,1]→[Q,BN]
+        eligible = (rowmask_ref[:] & qmask_ref[srows, :]) != 0  # [1,BN]&[QB,1]→[QB,BN]
         valid = jnp.logical_and(valid, eligible)
     scores = jnp.where(valid, scores, NEG_INF)
 
@@ -136,10 +145,13 @@ def _topk_kernel(
         # score, extract that max (lowest column wins ties → matches
         # lax.top_k order) and shift-insert it into the sorted scratch.
         # A query inserts at most k times per block, and on random data
-        # the expected trip count is 1-3 — vs the previous fixed k
-        # extraction passes over [QB, block+128], which dominated
-        # serving-batch latency (at Q=512 nearly every block fires a
-        # merge for someone in the tile).
+        # the expected trip count is 1-3.
+        # MEASURED DEAD END (2026-08-16): gating per 8-query subgroup
+        # (scores staged to VMEM scratch, fori_loop of scalar-gated [8,BN]
+        # merges) to exploit the ~2% steady-state per-query improve odds
+        # was ~14% SLOWER at Q=512 (7035 vs 8186 qps) — the scratch
+        # round-trip plus 16 sequential scalar branches cost more than
+        # the [QB,BN] VPU passes they avoided. Keep the tile-level merge.
         lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
 
         def cond(state):
@@ -152,7 +164,7 @@ def _topk_kernel(
             sel_col = jnp.min(
                 jnp.where(at_max, cols, _HUGE_COL), axis=1, keepdims=True
             )
-            hit = cols == sel_col
+            hit = cols == sel_col  # [1,BN]==[QB,1] → [QB,BN]
             g = jnp.sum(jnp.where(hit, gidx, 0), axis=1, keepdims=True)
             improve = m > sv[:, k - 1 : k]  # [QB,1] per-query gate
             # insertion rank: after existing >= entries (earlier blocks /
@@ -210,15 +222,18 @@ def _build_call(
         _topk_kernel,
         k=k,
         block_rows=block_rows,
+        q_block=q_block,
         use_mask=use_mask,
         use_int8=use_int8,
     )
     # inner (fast) grid axis = query tiles: the x block index is constant
     # across it, so Pallas keeps the block resident and the index streams
-    # from HBM exactly once per call, independent of Q
+    # from HBM exactly once per call, independent of Q. The query batch
+    # (and query mask) use constant BlockSpecs — fetched ONCE, resident
+    # for the whole call, tiles sliced in-kernel (see _topk_kernel note).
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid (1,1)
-        pl.BlockSpec((q_block, d), lambda i, qb: (qb, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((qn, d), lambda i, qb: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_rows, d), lambda i, qb: (i, 0), memory_space=pltpu.VMEM),
     ]
     if use_int8:
@@ -228,7 +243,7 @@ def _build_call(
     if use_mask:
         in_specs += [
             pl.BlockSpec((1, block_rows), lambda i, qb: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_block, 1), lambda i, qb: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, 1), lambda i, qb: (0, 0), memory_space=pltpu.VMEM),
         ]
     flops = 2 * qn * d * n_rows
     return pl.pallas_call(
@@ -256,11 +271,16 @@ def _build_call(
     )
 
 
-def _vmem_need(q_block: int, block_rows: int, d: int, itemsize: int) -> int:
+def _vmem_need(
+    q_block: int, block_rows: int, d: int, itemsize: int, qn: int | None = None
+) -> int:
     """Rough scoped-VMEM bytes for one (block, tile) step: the [BN, D]
-    input tile plus the merge/score arrays that scale with QB·BN."""
-    return block_rows * (16 * q_block + d * itemsize) + q_block * (
-        LANES * 16 + d * itemsize
+    input tile plus the merge/score arrays that scale with QB·BN, plus
+    the FULL resident query batch and scratch (which scale with Q)."""
+    if qn is None:
+        qn = q_block
+    return block_rows * (16 * q_block + d * itemsize) + qn * (
+        LANES * 16 + d * max(itemsize, 2)
     )
 
 
@@ -281,7 +301,10 @@ def _auto_q_block(
     for qb in (128, 64, 32, 16, 8):
         if qn % qb:
             continue
-        if block_rows is None or _vmem_need(qb, block_rows, d, itemsize) <= _VMEM_BUDGET:
+        if (
+            block_rows is None
+            or _vmem_need(qb, block_rows, d, itemsize, qn) <= _VMEM_BUDGET
+        ):
             return qb
     return 1
 
@@ -302,7 +325,7 @@ def _auto_block_rows(
     best = 512
     b = 512
     while b <= 4096:
-        if _vmem_need(qb, b, d, itemsize) > _VMEM_BUDGET:
+        if _vmem_need(qb, b, d, itemsize, qn) > _VMEM_BUDGET:
             break
         best = b
         b *= 2
