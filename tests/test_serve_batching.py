@@ -106,6 +106,60 @@ def test_batcher_group_failure_is_isolated():
     assert oks == ["fine"]  # different (k) group: unaffected
 
 
+class FakePipelinedEngine(FakeEngine):
+    """Engine exposing the dispatch/finish split the real engine has;
+    records when dispatch vs finish ran to prove the overlap path."""
+
+    def __init__(self, delay=0.0):
+        super().__init__(delay)
+        self.phases: list[str] = []
+
+    def search_dispatch(self, queries, k=10, categories=None, hybrid_alpha=None):
+        self.phases.append("dispatch")
+        if any(q == "DISPATCH-BOOM" for q in queries):
+            raise RuntimeError("dispatch exploded")
+
+        def finish():
+            self.phases.append("finish")
+            return self.search(
+                queries, k=k, categories=categories, hybrid_alpha=hybrid_alpha
+            )
+
+        return finish
+
+
+def test_batcher_uses_pipelined_dispatch():
+    eng = FakePipelinedEngine(delay=0.01)
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=15.0)
+    outs = {}
+
+    def client(i):
+        outs[i] = b.search([f"q{i}"], 10, None, None)[0][0].chunk_id
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    b.close()
+    assert outs == {i: f"q{i}" for i in range(8)}
+    assert "dispatch" in eng.phases and "finish" in eng.phases
+
+
+def test_batcher_pipelined_errors_propagate():
+    eng = FakePipelinedEngine()
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=10.0)
+    # error raised at DISPATCH time (loop thread)
+    with pytest.raises(RuntimeError, match="dispatch exploded"):
+        b.search(["DISPATCH-BOOM"], 3, None, None)
+    # error raised at FINISH time (completion thread)
+    with pytest.raises(RuntimeError, match="engine exploded"):
+        b.search(["BOOM"], 3, None, None)
+    # batcher still serves afterwards
+    assert b.search(["ok"], 3, None, None)[0][0].chunk_id == "ok"
+    b.close()
+
+
 def test_batcher_window_zero_is_direct():
     eng = FakeEngine()
     b = MicroBatcher(eng, batch_window_ms=0.0)
