@@ -201,6 +201,7 @@ def main() -> None:
     # single-level kernel's row block shrank with Q) ------------------------
     q512_qps = 0.0
     q512_fused_qps = 0.0
+    q512_piped_qps = 0.0
     if on_tpu:
         q512 = make_normal(jax.random.PRNGKey(7), 512)
         f512 = jax.jit(lambda i, qq: flat_search(i, qq, k))
@@ -224,6 +225,17 @@ def main() -> None:
                 latf.append(time.perf_counter() - t0)
             q512_fused_qps = 512 / sorted(latf)[len(latf) // 2]
             log(f"serving throughput @Q=512 (fused, q-tiled): {q512_fused_qps:.0f} qps")
+            # pipelined: dispatch K batches, fetch all — the production
+            # number (the micro-batcher dispatches window t+1 while
+            # window t's results are in flight; through the tunnel the
+            # per-call fetch RTT otherwise dominates)
+            t0 = time.perf_counter()
+            outs = [fused_topk(index, q512b, k, n_valid=n_rows) for _ in range(6)]
+            for v, _i in outs:
+                _ = np.asarray(v)
+            q512_piped_qps = 6 * 512 / (time.perf_counter() - t0)
+            log(f"serving throughput @Q=512 (fused, pipelined x6): "
+                f"{q512_piped_qps:.0f} qps")
         except Exception as exc:  # noqa: BLE001
             log(f"fused @Q=512 failed: {exc}")
 
@@ -509,6 +521,7 @@ def main() -> None:
                 if cpu_chunks_per_s else 0.0,
                 "qps_at_q512_xla": round(q512_qps, 1),
                 "qps_at_q512_fused": round(q512_fused_qps, 1),
+                "qps_at_q512_fused_pipelined": round(q512_piped_qps, 1),
                 "fraction_of_read_bw": round(float(frac_sol), 3),
                 "kernel": kernel_impl,
                 "backend": jax.default_backend(),
