@@ -7,6 +7,13 @@ repeated running titles (:114-142), drop standalone page numbers
 improvement hook (:163-165). Math spans are placeholder-protected
 through the lossy passes (pipeline/formulas.py), which the reference
 does inside its formula processor.
+
+The cleaner also runs the extraction-artifact repair family the
+reference applies at extraction time (``pdf_extractor.py:64-154``'s
+post-processing regex army, :7457-7593 ``_post_process_extracted_text``)
+— consolidated here as ``polish_extracted_text`` so every extractor
+strategy benefits from one tested pass instead of each reimplementing
+it.
 """
 
 from __future__ import annotations
@@ -44,6 +51,7 @@ class TextCleaner:
     remove_headers: bool = True
     remove_page_numbers: bool = True
     improve_formulas: bool = True
+    polish: bool = True  # extraction-artifact repair (polish_extracted_text)
     repeat_threshold: int = 3  # a line appearing on >= this many "pages" is a running header
     stats: CleanStats = field(default_factory=CleanStats)
 
@@ -65,6 +73,10 @@ class TextCleaner:
             protected, k = PAGE_NUMBER.subn("", protected)
             self.stats.page_numbers_removed = k
 
+        if self.polish:
+            # formula spans are still placeholder-protected here, so the
+            # typography/identifier repairs can't corrupt math
+            protected = polish_extracted_text(protected)
         protected = self._normalize_whitespace(protected)
         text = restore_formulas(protected, saved)
         if self.improve_formulas:
@@ -123,7 +135,67 @@ def dehyphenate(text: str) -> str:
     """Join words broken across line ends: ``convolu-\\ntional`` →
     ``convolutional`` (extraction post-processing family,
     ``pdf_extractor.py:64-154`` regex passes)."""
-    return re.sub(r"(\w{2,})-\n(\w{2,})", r"\1\2", text)
+    return re.sub(r"(\w{2,})-\s*\n\s*(\w{2,})", r"\1\2", text)
+
+
+# Extraction-artifact repair passes (the behavioral contract of the
+# reference's post-processing army, ``pdf_extractor.py:64-154``), written
+# fresh as one ordered table. Deliberately NOT replicated from there:
+# - dash swaps (its #26 rewrites " - " to an en dash, mangling minus
+#   signs and ranges);
+# - generic operator-spacing passes (#4/#31 fight the formula
+#   protection/normalization this pipeline already does in formulas.py);
+# - greedy quote tightening (#10 matches across arbitrarily long spans).
+_POLISH_PASSES = (
+    # broken URLs/emails: a dot/@ spaced on BOTH sides almost never
+    # occurs in prose ("word. Next" has the space only after)
+    (re.compile(r"([A-Za-z0-9])\s+([@.])\s+([A-Za-z0-9])"), r"\1\2\3"),
+    # citation brackets: [ 12 ] -> [12]
+    (re.compile(r"\[\s+(\d+)\s*\]|\[\s*(\d+)\s+\]"), lambda m: f"[{m.group(1) or m.group(2)}]"),
+    # references broken across a line break: "Figure\n 3" -> "Figure 3"
+    (re.compile(r"\b(Figure|Table|Equation|Section|Algorithm|Fig\.|Tab\.)\s*\n\s*(\d+)",
+                re.IGNORECASE), r"\1 \2"),
+    # spaced abbreviations: "i. e." -> "i.e."
+    (re.compile(r"\b([a-z])\.\s+([a-z])\.(?=[\s,)])"), r"\1.\2."),
+    # decimals and percentages: "3 . 14" -> "3.14", "95 %" -> "95%"
+    (re.compile(r"(\d)\s+\.\s+(\d)"), r"\1.\2"),
+    (re.compile(r"(\d)\s+%"), r"\1%"),
+    # digit groups split by the extractor: "19 500" -> "19500"
+    (re.compile(r"(\d)\s+(\d{3})\b"), r"\1\2"),
+    # parenthesis/bracket inner spacing: "( x )" -> "(x)"
+    (re.compile(r"\(\s+([^()\n]*?)\s+\)"), r"(\1)"),
+    (re.compile(r"\[\s+([^\[\]\n]*?)\s+\]"), r"[\1]"),
+    # broken LaTeX commands: "\\ alpha" -> "\\alpha", "\\ {" -> "\\{"
+    (re.compile(r"\\\s+([a-zA-Z]+)"), r"\\\1"),
+    (re.compile(r"\\\s+\{"), r"\\{"),
+    # bullets to a uniform list marker
+    (re.compile(r"^\s*[•▪‣]\s+", re.MULTILINE), "- "),
+    # spaced sub/superscripts: "x _ i" -> "x_i", "x ^ { 2 }" -> "x^2"
+    # (brace-trailing whitespace consumed only WITH the brace, else the
+    # pass would glue the following word on)
+    (re.compile(r"([A-Za-z0-9])\s*_\s*(?:\{\s*)?([A-Za-z0-9])(?:\s*\})?"), r"\1_\2"),
+    (re.compile(r"([A-Za-z0-9])\s*\^\s*(?:\{\s*)?([A-Za-z0-9])(?:\s*\})?"), r"\1^\2"),
+    # version tags: "v 2" -> "v2"
+    (re.compile(r"\bv\s+(\d+)\b"), r"v\1"),
+)
+
+_HTML_ENTITY = re.compile(r"&(?:amp|lt|gt|quot|#\d+|#x[0-9a-fA-F]+);")
+
+
+def polish_extracted_text(text: str) -> str:
+    """Repair extraction artifacts: ligatures, line-break hyphenation,
+    HTML entities, spaced punctuation/identifiers (see _POLISH_PASSES).
+    Runs inside TextCleaner.clean while formula spans are protected, so
+    none of these touch real math."""
+    import html
+
+    text = fix_ligatures(text)
+    text = dehyphenate(text)
+    if _HTML_ENTITY.search(text):
+        text = html.unescape(text)
+    for pat, repl in _POLISH_PASSES:
+        text = pat.sub(repl, text)
+    return text
 
 
 def fix_ligatures(text: str) -> str:

@@ -61,7 +61,42 @@ def test_clean_removes_arxiv_header_and_controls():
 
 def test_dehyphenate_and_ligatures():
     assert dehyphenate("informa-\ntion retrieval") == "information retrieval"
+    assert dehyphenate("informa- \n tion") == "information"
     assert fix_ligatures("eﬃcient ﬁne ﬂow") == "efficient fine flow"
+
+
+def test_polish_extracted_text():
+    from arxiv_rag_tpu.pipeline.clean import polish_extracted_text as p
+
+    # broken URLs/emails (dot/@ spaced on both sides)
+    assert p("user @ example . com") == "user@example.com"
+    # prose periods (space only after) are untouched
+    assert p("the end. Next sentence") == "the end. Next sentence"
+    # citations, cross-line references, abbreviations
+    assert p("as shown in [ 12 ] and [3 ]") == "as shown in [12] and [3]"
+    assert p("see Figure\n 3 and Table\n2") == "see Figure 3 and Table 2"
+    assert p("i. e. the best, e. g. this") == "i.e. the best, e.g. this"
+    # numerics
+    assert p("3 . 14 and 95 % of 19 500") == "3.14 and 95% of 19500"
+    # spacing inside brackets, latex commands, bullets
+    assert p("( x ) and [ y ]") == "(x) and [y]"
+    assert p("\\ alpha + \\ {") == "\\alpha + \\{"
+    assert p("• first\n• second") == "- first\n- second"
+    # sub/superscripts and version tags
+    assert p("x _ i and y ^ 2 at v 2") == "x_i and y^2 at v2"
+    # html entities
+    assert p("a &amp; b &lt; c") == "a & b < c"
+
+
+def test_cleaner_runs_polish_with_formulas_protected():
+    cleaner = TextCleaner()
+    out = cleaner.clean("Results [ 7 ] show informa-\ntion gain.\n\n"
+                        "$E = mc^2$ stays intact.")
+    assert "[7]" in out
+    assert "information gain" in out
+    assert "$E = mc^2$" in out  # math untouched by the polish passes
+    no_polish = TextCleaner(polish=False).clean("Results [ 7 ] show it.")
+    assert "[ 7 ]" in no_polish
 
 
 def test_sections_extraction_and_mapping():
