@@ -541,7 +541,9 @@ def _build_engine(args):
         params = init_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
         vocab_path = args.vocab
     tokenizer = _tokenizer_or_toy(vocab_path)
-    embedder = Embedder(params, mcfg, tokenizer)
+    # query-time embedder: serving windows are small and varied, so
+    # allow small padded batch heights next to the bulk shape
+    embedder = Embedder(params, mcfg, tokenizer, batch_sizes=(64, 512))
 
     corpus = None
     if args.corpus:

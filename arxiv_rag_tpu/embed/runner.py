@@ -63,6 +63,7 @@ class Embedder:
         *,
         buckets: Sequence[int] = (64, 128, 256, 384),
         batch_size: int = 512,
+        batch_sizes: Sequence[int] | None = None,
         compute_dtype: jnp.dtype = jnp.bfloat16,
         normalize: bool = True,
         mesh=None,
@@ -82,7 +83,16 @@ class Embedder:
         # multithreaded; falls back to the Python path when None
         self.native_tokenizer = native_tokenizer
         self.buckets = tuple(sorted(buckets))
-        self.batch_size = batch_size
+        # allowed padded batch heights, ascending. Bulk embedding wants
+        # one big shape (default); SERVING windows are small and varied —
+        # padding a 48-query window to 512 slots wastes 10x the encode
+        # compute, so the query-time embedder passes e.g. (64, 512) and
+        # each batch pads to the smallest height that fits. Under a mesh,
+        # every height must divide by the device count.
+        self.batch_sizes = (
+            tuple(sorted(batch_sizes)) if batch_sizes else (batch_size,)
+        )
+        self.batch_size = max(self.batch_sizes)
         self.compute_dtype = compute_dtype
         self.normalize = normalize
         self.mesh = mesh
@@ -163,6 +173,34 @@ class Embedder:
 
     # -- device side -----------------------------------------------------
 
+    def _padded_height(self, n: int) -> int:
+        """Smallest allowed batch height that fits n rows."""
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
+
+    def _iter_batches(self, positions, ids, mask):
+        """Yield (bpos, bids, bmask, n) slices padded to a compiled
+        batch height (pad rows get one CLS token so pooling never
+        divides by zero)."""
+        for start in range(0, len(positions), self.batch_size):
+            bpos = positions[start : start + self.batch_size]
+            bids = ids[start : start + self.batch_size]
+            bmask = mask[start : start + self.batch_size]
+            n = len(bpos)
+            height = self._padded_height(n)
+            if n < height:
+                pad = height - n
+                bids = np.pad(bids, ((0, pad), (0, 0)),
+                              constant_values=self.tokenizer.pad_id)
+                bmask = np.pad(bmask, ((0, pad), (0, 0)))
+                bids[n:, 0] = self.tokenizer.cls_id
+                bmask[n:, 0] = 1
+                self.stats.padded_slots += pad
+            self.stats.batches += 1
+            yield bpos, bids, bmask, n
+
     def _run_batch(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array:
         x_ids, x_mask = jnp.asarray(ids), jnp.asarray(mask)
         if self._data_sharding is not None:
@@ -179,26 +217,36 @@ class Embedder:
         pending: list[tuple[list[int], jax.Array, int]] = []
         with METRICS.timer("embed.device"):
             for bucket, (positions, ids, mask) in bucketed.items():
-                for start in range(0, len(positions), self.batch_size):
-                    bpos = positions[start : start + self.batch_size]
-                    bids = ids[start : start + self.batch_size]
-                    bmask = mask[start : start + self.batch_size]
-                    n = len(bpos)
-                    if n < self.batch_size:  # pad to the compiled shape
-                        pad = self.batch_size - n
-                        bids = np.pad(bids, ((0, pad), (0, 0)),
-                                      constant_values=self.tokenizer.pad_id)
-                        # one real token so pooling never divides by zero
-                        bmask = np.pad(bmask, ((0, pad), (0, 0)))
-                        bids[n:, 0] = self.tokenizer.cls_id
-                        bmask[n:, 0] = 1
-                        self.stats.padded_slots += pad
+                for bpos, bids, bmask, n in self._iter_batches(positions, ids, mask):
                     # async dispatch: host tokenizes/pads the next batch
                     # while the device runs this one
                     pending.append((bpos, self._run_batch(bids, bmask), n))
-                    self.stats.batches += 1
             for bpos, emb, n in pending:
                 out[np.asarray(bpos)] = np.asarray(emb)[:n]
         self.stats.texts += len(texts)
         METRICS.inc("embed.texts", len(texts))
         return out
+
+    def encode_texts_device(self, texts: Sequence[str]) -> jax.Array:
+        """[len(texts), hidden] fp32 embeddings, original order, ON
+        DEVICE — no host fetch.  For pipelines that feed the embeddings
+        straight into another device op (serving: query encode → fused
+        scan), where ``encode_texts``'s numpy round trip costs two extra
+        tunnel transfers per window and serializes the device queue.
+        Order restoration is a device-side ``take``."""
+        if not len(texts):
+            return jnp.zeros((0, self.cfg.hidden_size), jnp.float32)
+        bucketed = self.tokenize_bucketed(texts)
+        parts: list[jax.Array] = []
+        pos_all: list[int] = []
+        with METRICS.timer("embed.device"):
+            for bucket, (positions, ids, mask) in bucketed.items():
+                for bpos, bids, bmask, n in self._iter_batches(positions, ids, mask):
+                    parts.append(self._run_batch(bids, bmask)[:n])
+                    pos_all.extend(bpos)
+        emb = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        inv = np.empty(len(texts), np.int64)
+        inv[np.asarray(pos_all)] = np.arange(len(texts))
+        self.stats.texts += len(texts)
+        METRICS.inc("embed.texts", len(texts))
+        return jnp.take(emb, jnp.asarray(inv), axis=0)

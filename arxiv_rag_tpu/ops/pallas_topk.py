@@ -340,11 +340,27 @@ def _pad_rows(x: np.ndarray | jnp.ndarray, multiple: int) -> jnp.ndarray:
     return jnp.asarray(x)
 
 
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _trim(vals, ids, qn):
+    # avoid an eager device slice when the caller's count already
+    # matches (every eager op through the remote tunnel is a round trip)
+    if vals.shape[0] != qn:
+        return vals[:qn], ids[:qn]
+    return vals, ids
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_rows", "interpret"),
 )
 def _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret):
+    # query pad to sublane alignment happens INSIDE the jit: traced,
+    # fused, and — unlike an eager jnp.pad in the wrapper — not a
+    # separate device dispatch per call
+    queries = _pad_rows(queries, 8)
     qn, d = queries.shape
     call = _build_call(
         index.shape[0], d, qn, k, block_rows, index.dtype, False, False, interpret
@@ -366,16 +382,15 @@ def fused_topk(
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]
-    queries = _pad_rows(queries, 8)  # sublane-aligned query tiles
     block_rows = _auto_block_rows(
-        queries.shape[0], block_rows, queries.shape[1],
+        _round8(qn), block_rows, queries.shape[1],
         jnp.dtype(index.dtype).itemsize,
     )
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
-    nvalid = jnp.full((1, 1), n, jnp.int32)
+    nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret)
-    return vals[:qn], ids[:qn]
+    return _trim(vals, ids, qn)
 
 
 @functools.partial(
@@ -383,6 +398,8 @@ def fused_topk(
     static_argnames=("k", "block_rows", "interpret"),
 )
 def _fused_topk_masked_jit(index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret):
+    queries = _pad_rows(queries, 8)
+    query_mask = _pad_rows(query_mask.reshape(-1, 1), 8)  # pad rows: mask 0
     qn, d = queries.shape
     call = _build_call(
         index.shape[0], d, qn, k, block_rows, index.dtype, True, False, interpret
@@ -392,7 +409,7 @@ def _fused_topk_masked_jit(index, row_masks, query_mask, queries, nvalid, k, blo
         queries.astype(index.dtype),
         index,
         row_masks.reshape(1, -1).astype(jnp.int32),
-        query_mask.reshape(-1, 1).astype(jnp.int32),
+        query_mask.astype(jnp.int32),
     )
 
 
@@ -411,20 +428,18 @@ def fused_topk_masked(
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]
-    queries = _pad_rows(queries, 8)
-    query_mask = _pad_rows(query_mask.reshape(-1, 1), 8).reshape(-1)  # pad rows: mask 0
     block_rows = _auto_block_rows(
-        queries.shape[0], block_rows, queries.shape[1],
+        _round8(qn), block_rows, queries.shape[1],
         jnp.dtype(index.dtype).itemsize,
     )
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
-    nvalid = jnp.full((1, 1), n, jnp.int32)
+    nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_masked_jit(
         index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret
     )
-    return vals[:qn], ids[:qn]
+    return _trim(vals, ids, qn)
 
 
 @functools.partial(
@@ -432,6 +447,7 @@ def fused_topk_masked(
     static_argnames=("k", "block_rows", "interpret"),
 )
 def _fused_topk_int8_jit(values, scales, queries, nvalid, k, block_rows, interpret):
+    queries = _pad_rows(queries.astype(jnp.float32), 8)
     qn, d = queries.shape
     call = _build_call(
         values.shape[0], d, qn, k, block_rows, jnp.int8, False, True, interpret
@@ -460,18 +476,15 @@ def fused_topk_int8(
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]
-    queries = _pad_rows(jnp.asarray(queries, jnp.float32), 8)
-    block_rows = _auto_block_rows(
-        queries.shape[0], block_rows, queries.shape[1], 1
-    )
+    block_rows = _auto_block_rows(_round8(qn), block_rows, queries.shape[1], 1)
     n = values.shape[0] if n_valid is None else n_valid
     values = _pad_rows(values, block_rows)
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
-    nvalid = jnp.full((1, 1), n, jnp.int32)
+    nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_int8_jit(
         values, scales, queries, nvalid, k, block_rows, interpret
     )
-    return vals[:qn], ids[:qn]
+    return _trim(vals, ids, qn)
 
 
 @functools.partial(
@@ -480,6 +493,8 @@ def fused_topk_int8(
 )
 def _fused_topk_int8_masked_jit(values, scales, row_masks, query_mask, queries,
                                 nvalid, k, block_rows, interpret):
+    queries = _pad_rows(queries.astype(jnp.float32), 8)
+    query_mask = _pad_rows(query_mask.reshape(-1, 1), 8)
     qn, d = queries.shape
     call = _build_call(
         values.shape[0], d, qn, k, block_rows, jnp.int8, True, True, interpret
@@ -490,7 +505,7 @@ def _fused_topk_int8_masked_jit(values, scales, row_masks, query_mask, queries,
         values,
         scales.reshape(1, -1),
         row_masks.reshape(1, -1).astype(jnp.int32),
-        query_mask.reshape(-1, 1).astype(jnp.int32),
+        query_mask.astype(jnp.int32),
     )
 
 
@@ -512,17 +527,13 @@ def fused_topk_int8_masked(
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]
-    queries = _pad_rows(jnp.asarray(queries, jnp.float32), 8)
-    query_mask = _pad_rows(query_mask.reshape(-1, 1), 8).reshape(-1)
-    block_rows = _auto_block_rows(
-        queries.shape[0], block_rows, queries.shape[1], 1
-    )
+    block_rows = _auto_block_rows(_round8(qn), block_rows, queries.shape[1], 1)
     n = values.shape[0] if n_valid is None else n_valid
     values = _pad_rows(values, block_rows)
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
-    nvalid = jnp.full((1, 1), n, jnp.int32)
+    nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_int8_masked_jit(
         values, scales, row_masks, query_mask, queries, nvalid, k, block_rows, interpret
     )
-    return vals[:qn], ids[:qn]
+    return _trim(vals, ids, qn)

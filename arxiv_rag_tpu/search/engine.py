@@ -133,14 +133,23 @@ class SearchEngine:
         serving micro-batcher relies on this split)."""
         k = k or self.cfg.top_k
         idx = self.index
-        q = jnp.asarray(query_embs, jnp.float32)
         # pad the query batch to a small set of fixed shapes: every new
         # Q recompiles the kernel, and remote compiles on this pool cost
-        # minutes — shape discipline applies to queries too
-        qn_real = q.shape[0]
+        # minutes — shape discipline applies to queries too. Pad on the
+        # HOST when the input is numpy: an eager device pad is its own
+        # tunnel round trip per call (the upload happens with the jit
+        # args either way).
+        qn_real = query_embs.shape[0]
         qn_pad = self._query_bucket(qn_real)
-        if qn_pad != qn_real:
-            q = jnp.pad(q, ((0, qn_pad - qn_real), (0, 0)))
+        if isinstance(query_embs, np.ndarray):
+            q = np.asarray(query_embs, np.float32)
+            if qn_pad != qn_real:
+                q = np.pad(q, ((0, qn_pad - qn_real), (0, 0)))
+            q = jnp.asarray(q)
+        else:
+            q = jnp.asarray(query_embs, jnp.float32)
+            if qn_pad != qn_real:
+                q = jnp.pad(q, ((0, qn_pad - qn_real), (0, 0)))
         n_valid = idx._n_valid
         # routing: the q-tiled fused kernel streams the index from HBM
         # exactly once at any Q (round-1's single-level kernel lost to
@@ -192,9 +201,11 @@ class SearchEngine:
         # beyond the largest bucket, round up to a multiple of 128
         return ((qn + 127) // 128) * 128
 
-    def _qmask(self, categories: Sequence[str] | None, qn: int) -> jnp.ndarray:
+    def _qmask(self, categories: Sequence[str] | None, qn: int) -> np.ndarray:
         bits = self.index.category_mask(categories)
-        return jnp.full((qn,), np.int32(np.uint32(bits).view(np.int32)), jnp.int32)
+        # host-side: uploaded with the jit args (an eager jnp.full is a
+        # separate device dispatch per call)
+        return np.full((qn,), np.uint32(bits).view(np.int32), np.int32)
 
     def _xla_plain(self, q, k):
         idx = self.index
@@ -276,7 +287,7 @@ class SearchEngine:
             raise RuntimeError("SearchEngine needs an embedder for text queries")
         k = k or self.cfg.top_k
         with METRICS.timer("search.encode"):
-            query_embs = self.embedder.encode_texts(list(queries))
+            query_embs = self._encode_queries(queries)
         if hybrid_alpha is None and self.bm25 is not None:
             hybrid_alpha = self.cfg.hybrid_alpha
         rerank = self.reranker is not None
@@ -291,6 +302,16 @@ class SearchEngine:
                 self._rerank_one(q, hits, k) for q, hits in zip(queries, hydrated)
             ]
         return hydrated
+
+    def _encode_queries(self, queries: Sequence[str]) -> np.ndarray:
+        """Query embeddings as numpy.  A device-resident handoff
+        (Embedder.encode_texts_device) was tried here and REVERTED: its
+        eager concatenate/take reorder compiles a new executable for
+        every distinct window size, and through the remote-compile
+        tunnel a single cold window stalled 10+ s (measured 48 qps vs
+        152 with the numpy path).  The numpy hop costs one fetch+upload
+        of a [Q, 768] array — bounded and shape-stable."""
+        return self.embedder.encode_texts(list(queries))
 
     def search_dispatch(
         self,
@@ -323,7 +344,10 @@ class SearchEngine:
 
             return finish_sync
         with METRICS.timer("search.encode"):
-            query_embs = self.embedder.encode_texts(list(queries))
+            # device-resident handoff: the embeddings feed straight into
+            # the scan, so fetching them to numpy here would cost two
+            # tunnel transfers and a device-queue stall per window
+            query_embs = self._encode_queries(queries)
         fin = self.search_embeddings_dispatch(query_embs, k, categories)
         qn = len(queries)
 

