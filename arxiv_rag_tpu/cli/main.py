@@ -832,11 +832,26 @@ def _add_serve(sub) -> None:
                    help="micro-batch coalescing window (0 = serialize directly)")
     p.add_argument("--max-batch", type=int, default=512,
                    help="dispatch immediately once this many queries are queued")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every query-batch shape before listening "
+                        "(a cold shape stalls live windows for seconds; on "
+                        "the shared pool a remote compile can take minutes)")
 
 
 def cmd_serve(args) -> int:
     engine = _build_engine(args)
     from arxiv_rag_tpu.serve import serve
+
+    if args.warmup:
+        # every (Q bucket x token bucket) the micro-batcher can produce
+        buckets = getattr(engine.embedder, "buckets", (64,))
+        for qn in (1, 32, 64, 128, 256, 384, 512):
+            if qn > args.max_batch and qn != 1:
+                continue
+            for b in buckets:
+                text = "warm " * max(1, (b - 8) // 5)
+                engine.search([f"{text}{i}" for i in range(qn)], k=10)
+            print(f"warmed shapes for {qn}-query windows", file=sys.stderr)
 
     httpd = serve(
         engine, args.host, args.port,
