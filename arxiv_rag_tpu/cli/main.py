@@ -843,9 +843,16 @@ def cmd_serve(args) -> int:
     from arxiv_rag_tpu.serve import serve
 
     if args.warmup:
-        # every (Q bucket x token bucket) the micro-batcher can produce
+        # every (Q bucket x token bucket) the micro-batcher can produce;
+        # beyond 512 the engine rounds Q up to multiples of 128, so big
+        # --max-batch values extend the list instead of staying cold
         buckets = getattr(engine.embedder, "buckets", (64,))
-        for qn in (1, 32, 64, 128, 256, 384, 512):
+        qs = [1, 32, 64, 128, 256, 384, 512]
+        q = 640
+        while q <= args.max_batch:
+            qs.append(q)
+            q += 128
+        for qn in qs:
             if qn > args.max_batch and qn != 1:
                 continue
             for b in buckets:

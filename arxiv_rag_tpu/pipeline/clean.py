@@ -160,8 +160,10 @@ _POLISH_PASSES = (
     # decimals and percentages: "3 . 14" -> "3.14", "95 %" -> "95%"
     (re.compile(r"(\d)\s+\.\s+(\d)"), r"\1.\2"),
     (re.compile(r"(\d)\s+%"), r"\1%"),
-    # digit groups split by the extractor: "19 500" -> "19500"
-    (re.compile(r"(\d)\s+(\d{3})\b"), r"\1\2"),
+    # NOT ported: the reference's digit-group join (#24, "(\d)\s+(\d{3})\b")
+    # corrupts ordinary prose — "In 2014 500 participants" -> "2014500" —
+    # and \s+ crosses line breaks; a split thousands group is rarer than
+    # adjacent independent numbers, so the pass loses more than it fixes
     # parenthesis/bracket inner spacing: "( x )" -> "(x)"
     (re.compile(r"\(\s+([^()\n]*?)\s+\)"), r"(\1)"),
     (re.compile(r"\[\s+([^\[\]\n]*?)\s+\]"), r"[\1]"),

@@ -192,9 +192,9 @@ class SearchEngine:
 
     @staticmethod
     def _query_bucket(qn: int) -> int:
-        # the 64 bucket matters for routing: the fused-kernel gate is
-        # qn_pad <= 64, and the measured Pallas/XLA crossover is Q≈64-128 —
-        # without it a real Q of 33-64 pads to 128 and misses the kernel
+        # small fixed buckets bound compile count; the q-tiled kernel is
+        # Pareto-dominant at every Q now (no Q-based routing), so the
+        # bucket choice only trades padding waste vs compiled shapes
         for b in (8, 32, 64, 128):
             if qn <= b:
                 return b
@@ -344,9 +344,6 @@ class SearchEngine:
 
             return finish_sync
         with METRICS.timer("search.encode"):
-            # device-resident handoff: the embeddings feed straight into
-            # the scan, so fetching them to numpy here would cost two
-            # tunnel transfers and a device-queue stall per window
             query_embs = self._encode_queries(queries)
         fin = self.search_embeddings_dispatch(query_embs, k, categories)
         qn = len(queries)

@@ -81,7 +81,9 @@ class MicroBatcher:
                 return self.engine.search(
                     queries, k=k, categories=categories, hybrid_alpha=hybrid_alpha
                 )
-        key = (k, tuple(categories) if categories else None, hybrid_alpha)
+        # preserve [] vs None: an empty list means "match no category"
+        # (zero eligible rows), not "no filter"
+        key = (k, None if categories is None else tuple(categories), hybrid_alpha)
         job = _Job(list(queries), key)
         with self._wake:
             self._queue.append(job)
@@ -98,6 +100,13 @@ class MicroBatcher:
                 while not self._queue and not self._closed:
                     self._wake.wait()
                 if self._closed:
+                    # resolve anything still queued — an abandoned job
+                    # leaves its handler thread blocked forever on
+                    # job.done.wait()
+                    for job in self._queue:
+                        job.error = RuntimeError("batcher closed")
+                        job.done.set()
+                    self._queue = []
                     # loop thread owns dispatch: once it exits, nothing
                     # else enqueues completions, so the sentinel is last
                     self._completions.put(None)
@@ -124,13 +133,13 @@ class MicroBatcher:
                         if dispatch is not None:
                             finish = dispatch(
                                 all_q, k=k,
-                                categories=list(cats) if cats else None,
+                                categories=None if cats is None else list(cats),
                                 hybrid_alpha=alpha,
                             )
                         else:  # engine without a pipelined API
                             finish = functools.partial(
                                 self.engine.search, all_q, k=k,
-                                categories=list(cats) if cats else None,
+                                categories=None if cats is None else list(cats),
                                 hybrid_alpha=alpha,
                             )
                     METRICS.inc("serve.batched_queries", len(all_q))

@@ -276,6 +276,19 @@ def main() -> None:
         ).astype(jnp.int32)
         want = 0b00000111  # 3 of 8 categories eligible (~37% of rows)
         qmask_dev = jnp.full((q_batch,), want, jnp.int32)
+        # masked fp32 oracle FIRST (XLA scan, reliable): both masked
+        # phases score against it, so it must exist even if the fused
+        # kernel below fails (round-2 bug: a fused failure left momi
+        # undefined and the int8+masked phase died on the NameError)
+        momv, momi = jax.jit(
+            lambda x, rm, qm, q: masked_flat_search(x, rm, qm, q, k)
+        )(
+            index_f32,
+            row_masks_dev[:n_rows].astype(jnp.uint32),
+            qmask_dev.astype(jnp.uint32),
+            queries_dev,
+        )
+        momv, momi = np.asarray(momv), np.asarray(momi)
         try:
             mv, mi = fused_topk_masked(index, row_masks_dev, qmask_dev,
                                        queries_dev.astype(jnp.bfloat16), k,
@@ -290,17 +303,8 @@ def main() -> None:
                 _ = np.asarray(mv)
                 latm.append(time.perf_counter() - t0)
             masked_qps = q_batch / sorted(latm)[len(latm) // 2]
-            # masked fp32 oracle (device): same mask semantics, exact scan
-            momv, momi = jax.jit(
-                lambda x, rm, qm, q: masked_flat_search(x, rm, qm, q, k)
-            )(
-                index_f32,
-                row_masks_dev[:n_rows].astype(jnp.uint32),
-                qmask_dev.astype(jnp.uint32),
-                queries_dev,
-            )
             masked_recall = recall_at_k(
-                np.asarray(mi), np.asarray(momi), np.asarray(momv), tie_tol=5e-3,
+                np.asarray(mi), momi, momv, tie_tol=5e-3,
                 candidate_scores=np.asarray(mv, np.float32),
             )
             log(f"masked fused: {masked_qps:.1f} qps, recall@{k} = {masked_recall:.4f}")

@@ -321,7 +321,7 @@ def test_query_batch_bucketing_consistency():
     idx = build_index(embs, dtype="float32")
     engine = SearchEngine(idx, use_pallas=False)
     assert engine._query_bucket(1) == 8
-    assert engine._query_bucket(33) == 64  # 64 bucket keeps Q=33-64 on the fused kernel
+    assert engine._query_bucket(33) == 64  # 64 bucket bounds padding waste
     assert engine._query_bucket(65) == 128
     assert engine._query_bucket(200) == 256
     for qn in (1, 3, 8, 9):

@@ -77,7 +77,10 @@ def test_polish_extracted_text():
     assert p("see Figure\n 3 and Table\n2") == "see Figure 3 and Table 2"
     assert p("i. e. the best, e. g. this") == "i.e. the best, e.g. this"
     # numerics
-    assert p("3 . 14 and 95 % of 19 500") == "3.14 and 95% of 19500"
+    assert p("3 . 14 and 95 %") == "3.14 and 95%"
+    # adjacent independent numbers must NOT merge (the reference's
+    # digit-group pass corrupted prose like this; deliberately skipped)
+    assert p("In 2014 500 participants") == "In 2014 500 participants"
     # spacing inside brackets, latex commands, bullets
     assert p("( x ) and [ y ]") == "(x) and [y]"
     assert p("\\ alpha + \\ {") == "\\alpha + \\{"

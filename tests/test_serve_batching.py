@@ -22,7 +22,8 @@ class FakeEngine:
 
     def search(self, queries, k=10, categories=None, hybrid_alpha=None):
         self.calls.append(
-            (len(queries), k, tuple(categories) if categories else None, hybrid_alpha)
+            (len(queries), k,
+             None if categories is None else tuple(categories), hybrid_alpha)
         )
         if self.delay:
             time.sleep(self.delay)
@@ -158,6 +159,38 @@ def test_batcher_pipelined_errors_propagate():
     # batcher still serves afterwards
     assert b.search(["ok"], 3, None, None)[0][0].chunk_id == "ok"
     b.close()
+
+
+def test_batcher_preserves_empty_categories():
+    """[] means 'match no category' (zero eligible rows) — collapsing
+    it to None would silently drop the filter."""
+    eng = FakeEngine()
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=5.0)
+    b.search(["q"], 10, [], None)
+    b.close()
+    assert eng.calls == [(1, 10, (), None)]
+
+
+def test_batcher_close_resolves_queued_jobs():
+    """A job enqueued around close() must error out, not hang its
+    handler thread forever."""
+    eng = FakeEngine(delay=0.05)
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=5.0)
+    outcome = {}
+
+    def late_client():
+        try:
+            outcome["r"] = b.search(["late"], 10, None, None)
+        except RuntimeError as exc:
+            outcome["err"] = str(exc)
+
+    t = threading.Thread(target=late_client)
+    t.start()
+    time.sleep(0.001)
+    b.close()
+    t.join(timeout=10)
+    assert not t.is_alive(), "handler thread hung after close()"
+    assert "r" in outcome or "batcher closed" in outcome.get("err", "")
 
 
 def test_batcher_window_zero_is_direct():
