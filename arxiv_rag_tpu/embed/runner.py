@@ -227,6 +227,52 @@ class Embedder:
         METRICS.inc("embed.texts", len(texts))
         return out
 
+    def encode_window_device(self, texts: Sequence[str]):
+        """(embeddings [H, hidden] ON DEVICE, real row count) for one
+        serving window — the shape-stable device handoff.
+
+        Unlike ``encode_texts_device`` (whose per-window-size reorder
+        ops compile unboundedly through a remote-compile tunnel), this
+        path is a SINGLE padded batch: every text tokenizes at one
+        bucket (the largest any of them needs), the batch pads to a
+        fixed height, and order is preserved by construction — so the
+        device array feeds straight into the scan with zero eager
+        reshuffling and a bounded shape set (heights x buckets).
+        Returns None when the window exceeds the largest batch height
+        (caller falls back to ``encode_texts``)."""
+        n = len(texts)
+        if n == 0 or n > self.batch_size:
+            return None
+        max_b = self.buckets[-1]
+        if self.native_tokenizer is not None:
+            ids_full, mask_full = self.native_tokenizer.encode_batch(
+                texts, max_len=max_b
+            )
+            lengths = mask_full.sum(axis=1)
+        else:
+            encs = [self.tokenizer.encode(t, max_len=max_b) for t in texts]
+            lengths = np.asarray([len(e) for e in encs])
+        bucket = self._bucket_for(int(lengths.max()))
+        height = self._padded_height(n)
+        ids = np.full((height, bucket), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((height, bucket), np.int32)
+        if self.native_tokenizer is not None:
+            ids[:n] = ids_full[:, :bucket]
+            mask[:n] = mask_full[:, :bucket]
+        else:
+            for r, enc in enumerate(encs):
+                ids[r, : len(enc)] = enc
+                mask[r, : len(enc)] = 1
+        ids[n:, 0] = self.tokenizer.cls_id  # pad rows: one real token
+        mask[n:, 0] = 1
+        self.stats.tokens += int(lengths.sum())
+        self.stats.padded_slots += height - n
+        self.stats.batches += 1
+        self.stats.texts += n
+        METRICS.inc("embed.texts", n)
+        with METRICS.timer("embed.device"):
+            return self._run_batch(ids, mask), n
+
     def encode_texts_device(self, texts: Sequence[str]) -> jax.Array:
         """[len(texts), hidden] fp32 embeddings, original order, ON
         DEVICE — no host fetch.  For pipelines that feed the embeddings

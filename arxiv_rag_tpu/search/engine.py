@@ -123,6 +123,7 @@ class SearchEngine:
         query_embs: np.ndarray,
         k: int | None = None,
         categories: Sequence[str] | None = None,
+        n_real: int | None = None,
     ):
         """Dispatch the dense scan WITHOUT fetching: returns a
         ``finish() -> (scores, rows)`` closure.  Device execution
@@ -139,17 +140,21 @@ class SearchEngine:
         # HOST when the input is numpy: an eager device pad is its own
         # tunnel round trip per call (the upload happens with the jit
         # args either way).
-        qn_real = query_embs.shape[0]
-        qn_pad = self._query_bucket(qn_real)
+        # n_real: the input may arrive pre-padded (the device window
+        # handoff pads to a compiled batch height); results trim to the
+        # real count at finish time (a host slice, free)
+        qn_in = query_embs.shape[0]
+        qn_real = qn_in if n_real is None else n_real
+        qn_pad = self._query_bucket(qn_in)
         if isinstance(query_embs, np.ndarray):
             q = np.asarray(query_embs, np.float32)
-            if qn_pad != qn_real:
-                q = np.pad(q, ((0, qn_pad - qn_real), (0, 0)))
+            if qn_pad != qn_in:
+                q = np.pad(q, ((0, qn_pad - qn_in), (0, 0)))
             q = jnp.asarray(q)
         else:
             q = jnp.asarray(query_embs, jnp.float32)
-            if qn_pad != qn_real:
-                q = jnp.pad(q, ((0, qn_pad - qn_real), (0, 0)))
+            if qn_pad != qn_in:
+                q = jnp.pad(q, ((0, qn_pad - qn_in), (0, 0)))
         n_valid = idx._n_valid
         # routing: the q-tiled fused kernel streams the index from HBM
         # exactly once at any Q (round-1's single-level kernel lost to
@@ -343,10 +348,21 @@ class SearchEngine:
                 )
 
             return finish_sync
-        with METRICS.timer("search.encode"):
-            query_embs = self._encode_queries(queries)
-        fin = self.search_embeddings_dispatch(query_embs, k, categories)
         qn = len(queries)
+        with METRICS.timer("search.encode"):
+            # shape-stable device handoff: one padded batch per window,
+            # embeddings never fetched to host — the whole window is two
+            # device dispatches (encode, scan) and one fetch at finish.
+            # Falls back to the numpy hop for oversized windows or
+            # embedders without the window API.
+            window = getattr(self.embedder, "encode_window_device", None)
+            handoff = window(list(queries)) if window is not None else None
+            if handoff is not None:
+                query_embs, n_real = handoff
+            else:
+                query_embs, n_real = self._encode_queries(queries), qn
+        fin = self.search_embeddings_dispatch(query_embs, k, categories,
+                                              n_real=n_real)
 
         def finish() -> list[list[SearchResult]]:
             scores, rows = fin()

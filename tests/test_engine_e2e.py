@@ -332,6 +332,41 @@ def test_query_batch_bucketing_consistency():
         assert (rows[:, 0] == np.arange(qn)).all()
 
 
+def test_search_dispatch_window_handoff_matches_search(stack):
+    """The pipelined text path (device window handoff) must return the
+    same results as the synchronous search(), including the fallback
+    when the window exceeds the batch height."""
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype="float32")
+    eng = SearchEngine(index, embedder=emb, corpus=corpus)
+    queries = [texts[3], texts[11], texts[25]]  # fits one window (<=16)
+    got = eng.search_dispatch(queries, k=5)()
+    want = eng.search(queries, k=5)
+    assert [[r.row for r in hits] for hits in got] == \
+           [[r.row for r in hits] for hits in want]
+    # category-filtered route through the handoff
+    got_cat = eng.search_dispatch([texts[3]], k=5, categories=[cats[3]])()
+    assert all(cats[r.row] == cats[3] for r in got_cat[0])
+    # oversized window -> encode_window_device returns None -> numpy path
+    big = [texts[i % len(texts)] for i in range(20)]  # > batch_size 16
+    got_big = eng.search_dispatch(big, k=3)()
+    want_big = eng.search(big, k=3)
+    assert [[r.row for r in h] for h in got_big] == \
+           [[r.row for r in h] for h in want_big]
+
+
+def test_encode_window_device_matches_host(stack):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    window = emb.encode_window_device(texts[:5])
+    assert window is not None
+    dev, n = window
+    assert n == 5 and dev.shape[0] >= 5
+    want = emb.encode_texts(texts[:5])
+    np.testing.assert_allclose(np.asarray(dev)[:5], want, atol=1e-5)
+    assert emb.encode_window_device([]) is None
+    assert emb.encode_window_device(texts[:17]) is None  # > batch_size
+
+
 def test_engine_edge_cases(stack):
     """Edge probes: empty query batch, k > corpus size through text
     search, and a category filter matching nothing."""
