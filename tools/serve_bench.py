@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--qbatch", type=int, default=1,
                     help="queries per HTTP request")
     ap.add_argument("--batch-window-ms", type=float, default=8.0)
+    ap.add_argument("--dtype", choices=("bfloat16", "int8"), default="bfloat16",
+                    help="index storage dtype (int8 = half the HBM bytes)")
     args = ap.parse_args()
 
     import jax
@@ -77,12 +79,34 @@ def main() -> None:
         x = jax.random.normal(key, (rows, dim), jnp.float32)
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
-    values = make_normal(jax.random.PRNGKey(3), n_rows).astype(jnp.bfloat16)
-    _ = np.asarray(values[0, 0])
-    idx = DenseIndex(
-        values=values, scales=None, dtype="bfloat16", normalized=True,
-        categories=[], row_masks=None, chunk_ids=None,
-    )
+    values_f32 = make_normal(jax.random.PRNGKey(3), n_rows)
+    if args.dtype == "int8":
+        from arxiv_rag_tpu.ops.quant import quantize_int8
+
+        # quantize in row slices: a whole-matrix pass materializes fp32
+        # intermediates next to the 6 GB source and OOMs HBM at 2M rows
+        sv, ss = [], []
+        step = max(1, n_rows // 8)
+        for s in range(0, n_rows, step):
+            v, sc = quantize_int8(values_f32[s : s + step])
+            sv.append(v)
+            ss.append(sc)
+        qv = jnp.concatenate(sv, axis=0)
+        qs = jnp.concatenate(ss, axis=0)
+        del sv, ss
+        values_f32.delete()
+        idx = DenseIndex(
+            values=qv, scales=qs, dtype="int8", normalized=True,
+            categories=[], row_masks=None, chunk_ids=None,
+        )
+        _ = np.asarray(qv[0, 0])
+    else:
+        values = values_f32.astype(jnp.bfloat16)
+        _ = np.asarray(values[0, 0])
+        idx = DenseIndex(
+            values=values, scales=None, dtype="bfloat16", normalized=True,
+            categories=[], row_masks=None, chunk_ids=None,
+        )
     idx.to_device()
     log("index resident on device")
 
@@ -165,7 +189,7 @@ def main() -> None:
     lat.sort()
     done = len(lat)
     result = {
-        "metric": f"service_qps_http_{n_rows}x{dim}",
+        "metric": f"service_qps_http_{n_rows}x{dim}_{args.dtype}",
         "value": round(done * args.qbatch / wall, 1),
         "unit": "qps",
         "clients": args.clients,
