@@ -202,6 +202,57 @@ def test_batcher_window_zero_is_direct():
     b.close()
 
 
+def test_http_serving_over_sharded_index():
+    """Serving x sharding: concurrent HTTP clients against an engine
+    whose index is row-sharded over the 8-device CPU mesh (the
+    arag serve --shard production layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from arxiv_rag_tpu.embed import Embedder
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.models import ModelConfig, init_params
+    from arxiv_rag_tpu.parallel import data_mesh
+    from arxiv_rag_tpu.search.engine import SearchEngine
+    from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    cfg = ModelConfig(vocab_size=256, hidden_size=64, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=128,
+                      max_position_embeddings=64)
+    emb = Embedder(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                   WordPieceTokenizer.toy(), buckets=(16, 32),
+                   batch_sizes=(8, 16), compute_dtype=jnp.float32)
+    texts = [f"shard doc {i} about topic {i % 4}" for i in range(24)]
+    idx = build_index(emb.encode_texts(texts),
+                      chunk_ids=[f"c{i}" for i in range(24)], dtype="float32")
+    idx.to_device(mesh=data_mesh())
+    eng = SearchEngine(idx, embedder=emb, use_pallas=False)
+    httpd, _ = serve_in_thread(eng, batch_window_ms=8.0)
+    host, port = httpd.server_address
+    got = {}
+
+    def client(i):
+        body = json.dumps({"queries": [texts[i]], "k": 3}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            got[i] = json.loads(resp.read())["results"][0][0]["row"]
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    httpd.batcher.close()
+    httpd.shutdown()
+    assert got == {i: i for i in range(8)}  # exact self-retrieval per shard
+
+
 def test_http_concurrent_requests_batch():
     eng = FakeEngine(delay=0.01)
     httpd, thread = serve_in_thread(eng, batch_window_ms=25.0)
