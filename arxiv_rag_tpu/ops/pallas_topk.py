@@ -296,7 +296,13 @@ def _auto_q_block(
     overflows and must shrink to 64). Measured on 2M×768 bf16 @ Q=512
     (early-exit merge): 128/2048 10419 qps ≈ 64/4096 10302 > 32/4096
     8622, so wider tiles win once the batch splits."""
-    if qn <= 64:
+    if qn <= 64 and (
+        block_rows is None
+        or _vmem_need(qn, block_rows, d, itemsize, qn) <= _VMEM_BUDGET
+    ):
+        # whole batch as one tile — but a caller-FORCED block_rows still
+        # goes through the budget check (e.g. f32 index at 4096-row
+        # blocks overflows with a 64-query tile; shrink below)
         return qn
     for qb in (128, 64, 32, 16, 8):
         if qn % qb:

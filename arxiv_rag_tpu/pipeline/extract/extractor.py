@@ -269,6 +269,7 @@ class PDFExtractor:
             return ExtractionResult("", [], "none", 0.0, "unknown", False,
                                     error=f"structure: {exc}")
         best: tuple[float, str, list[str], QualityReport] | None = None
+        ocr_ran = False
         if pdf_type == "scanned":
             if self.ocr is None:
                 return ExtractionResult(
@@ -280,6 +281,7 @@ class PDFExtractor:
             # accept immediately at ocr_accept_score, else let the text
             # strategies compete (they rarely beat OCR on a scan)
             ocr_cand = self._try_ocr(doc, n_pages)
+            ocr_ran = True
             if ocr_cand is not None:
                 best = ocr_cand
                 if best[0] >= self.ocr_accept_score:
@@ -307,11 +309,16 @@ class PDFExtractor:
 
         # OCR-rescue: a hook is available and the best text strategy is
         # still poor (pdf_extractor.py:399-414's low-quality redo)
+        # (skip if OCR already ran for this document — re-sweeping every
+        # page image after a failed OCR-first pass doubles the most
+        # expensive step for identical inputs)
         if (
             self.ocr is not None
+            and not ocr_ran
             and (best is None or best[0] < self.ocr_rescue_score)
             and (best is None or best[1] != "ocr")
         ):
+            ocr_ran = True
             ocr_cand = self._try_ocr(doc, n_pages)
             if ocr_cand is not None and (best is None or ocr_cand[0] > best[0]):
                 best = ocr_cand

@@ -72,10 +72,18 @@ def test_two_process_distributed(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=240)
-        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        # a worker stuck in jax.distributed init must not outlive the
+        # test (a leaked process blocks the whole session on 1 core)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
 
     by_pid = {o["pid"]: o for o in outs}
     assert set(by_pid) == {0, 1}

@@ -52,6 +52,19 @@ def test_parity_case(pair, idx):
     np.testing.assert_array_equal(mask_cc, mask_py)
 
 
+def test_separator_whitespace_parity(pair):
+    """Zl/Zp (U+2028/U+2029) survive _clean on the Python side and
+    str.split() treats them as boundaries — the native path must too
+    (omitting them glued words across line separators)."""
+    py, cc = pair
+    for sep in ("\u2028", "\u2029", "\u2003", "\u3000"):
+        text = f"hello{sep}world"
+        ids_py, mask_py = py.encode_batch([text], max_len=64)
+        ids_cc, mask_cc = cc.encode_batch([text], max_len=64)
+        np.testing.assert_array_equal(ids_cc, ids_py, err_msg=hex(ord(sep)))
+        np.testing.assert_array_equal(mask_cc, mask_py)
+
+
 def test_batch_parity_and_padding(pair):
     py, cc = pair
     ids_py, mask_py = py.encode_batch(CASES, max_len=32, pad_to=48)
