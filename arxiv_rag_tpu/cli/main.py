@@ -867,10 +867,23 @@ def cmd_serve(args) -> int:
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
     )
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
+    # graceful SIGTERM (the downloader's shutdown contract, applied to
+    # serving): stop accepting, resolve in-flight windows, then exit —
+    # a killed dispatcher would leave handler threads blocked forever
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    old = signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
-        pass
+        print("shutting down (draining in-flight windows)", file=sys.stderr)
+    finally:
+        signal.signal(signal.SIGTERM, old)
+        httpd.batcher.close()
+        httpd.server_close()
     return 0
 
 

@@ -16,6 +16,7 @@ import logging
 import sys
 import threading
 import time
+from collections import deque
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -80,8 +81,13 @@ class Metrics:
 
     counters: dict[str, float] = field(default_factory=dict)
     gauges: dict[str, float] = field(default_factory=dict)
-    timers: dict[str, list[float]] = field(default_factory=dict)
+    # per-timer aggregate + a bounded window of recent samples: the
+    # full-history list grew without bound in a long-running server,
+    # and percentiles only need the recent window anyway
+    timers: dict[str, dict] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    TIMER_WINDOW = 4096  # recent samples kept for percentile estimates
 
     def inc(self, name: str, value: float = 1.0) -> None:
         with self._lock:
@@ -93,7 +99,16 @@ class Metrics:
 
     def observe(self, name: str, seconds: float) -> None:
         with self._lock:
-            self.timers.setdefault(name, []).append(seconds)
+            t = self.timers.get(name)
+            if t is None:
+                t = self.timers[name] = {
+                    "count": 0, "total": 0.0, "max": 0.0,
+                    "recent": deque(maxlen=self.TIMER_WINDOW),
+                }
+            t["count"] += 1
+            t["total"] += seconds
+            t["max"] = max(t["max"], seconds)
+            t["recent"].append(seconds)
 
     @contextmanager
     def timer(self, name: str) -> Iterator[None]:
@@ -105,15 +120,19 @@ class Metrics:
 
     def snapshot(self) -> dict[str, Any]:
         with self._lock:
-            timers = {
-                k: {
-                    "count": len(v),
-                    "total_s": sum(v),
-                    "mean_s": sum(v) / len(v) if v else 0.0,
-                    "max_s": max(v) if v else 0.0,
+            timers = {}
+            for k, t in self.timers.items():
+                recent = sorted(t["recent"])
+                n = len(recent)
+                timers[k] = {
+                    "count": t["count"],
+                    "total_s": t["total"],
+                    "mean_s": t["total"] / t["count"] if t["count"] else 0.0,
+                    "max_s": t["max"],
+                    # percentiles over the recent window (serving SLO view)
+                    "p50_s": recent[n // 2] if n else 0.0,
+                    "p95_s": recent[min(n - 1, int(n * 0.95))] if n else 0.0,
                 }
-                for k, v in self.timers.items()
-            }
             return {
                 "counters": dict(self.counters),
                 "gauges": dict(self.gauges),

@@ -49,6 +49,26 @@ def test_cache_disk_persistence(tmp_path):
     assert c2.warmup() >= 1
 
 
+def test_metrics_timer_percentiles_and_bounded_window():
+    from arxiv_rag_tpu.logging_utils import Metrics
+
+    m = Metrics()
+    for i in range(100):
+        m.observe("t", i / 100.0)
+    snap = m.snapshot()["timers"]["t"]
+    assert snap["count"] == 100
+    assert abs(snap["mean_s"] - 0.495) < 1e-9
+    assert snap["max_s"] == 0.99
+    assert 0.45 <= snap["p50_s"] <= 0.55
+    assert 0.90 <= snap["p95_s"] <= 0.99
+    # the sample window is bounded; aggregates keep the full history
+    for i in range(Metrics.TIMER_WINDOW + 500):
+        m.observe("t", 0.001)
+    t = m.timers["t"]
+    assert len(t["recent"]) == Metrics.TIMER_WINDOW
+    assert t["count"] == 100 + Metrics.TIMER_WINDOW + 500
+
+
 def test_memory_manager_batching():
     mm = MemoryManager(min_batch=2, max_batch=16)
     snap = mm.snapshot()
