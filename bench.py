@@ -123,7 +123,13 @@ def main() -> None:
     # if the fused kernel doesn't come up within the window, fall back to
     # the XLA scan so the driver always gets its JSON line. The compile
     # thread keeps running; if it finishes in time we still use it.
-    compile_timeout = float(os.environ.get("ARAG_BENCH_COMPILE_TIMEOUT", 330.0))
+    # NOTE (2026-08-17): the plain-bf16 Q=32 kernel's compile never
+    # persists to the local compile cache through this tunnel (the
+    # masked/int8/Q=512 variants cache fine — repeatedly verified), so
+    # every bench process pays a fresh 95-320s Mosaic compile for the
+    # headline depending on pool load. 600s covers the worst observed;
+    # the XLA fallback still guarantees the JSON line.
+    compile_timeout = float(os.environ.get("ARAG_BENCH_COMPILE_TIMEOUT", 600.0))
     warm: dict = {}
 
     def _warm():
@@ -250,7 +256,7 @@ def main() -> None:
     )
     log(f"device fp32 oracle recall@{k} = {recall:.4f}")
 
-    deadline = float(os.environ.get("ARAG_BENCH_DEADLINE", 460.0))
+    deadline = float(os.environ.get("ARAG_BENCH_DEADLINE", 700.0))
 
     def past_deadline(phase: str) -> bool:
         if time.perf_counter() - T0 > deadline:
