@@ -852,12 +852,28 @@ def cmd_serve(args) -> int:
         while q <= args.max_batch:
             qs.append(q)
             q += 128
+        # build warm texts by MEASURED token count, not a chars-per-token
+        # guess: with a real WordPiece vocab "warm" is ~1 token (not 5
+        # chars -> 1), so a char-count heuristic never fills buckets
+        # >=64 and the first real long-query window still pays the
+        # multi-second cold compile this flag exists to prevent
+        tok = getattr(engine.embedder, "tokenizer", None)
+        warm_texts = {}
+        for b in buckets:
+            target = max(1, b - 8)  # margin: the per-query suffix below
+            words = ["warm"]
+            if tok is not None:
+                while (len(tok.encode(" ".join(words))) < target
+                       and len(words) < 8 * target):
+                    words = words + words
+                while len(words) > 1 and len(tok.encode(" ".join(words[:-1]))) >= target:
+                    words = words[:-1]
+            warm_texts[b] = " ".join(words)
         for qn in qs:
             if qn > args.max_batch and qn != 1:
                 continue
             for b in buckets:
-                text = "warm " * max(1, (b - 8) // 5)
-                engine.search([f"{text}{i}" for i in range(qn)], k=10)
+                engine.search([f"{warm_texts[b]} {i}" for i in range(qn)], k=10)
             print(f"warmed shapes for {qn}-query windows", file=sys.stderr)
 
     httpd = serve(

@@ -68,10 +68,14 @@ def _topk_kernel(
     q_block: int,
     use_mask: bool,
     use_int8: bool,
+    int8_mode: str = "row",
 ):
     if use_int8:
         scales_ref = rest[0]  # [1, BN] f32 row scales
         rest = rest[1:]
+        if int8_mode == "s8s8":
+            qscale_ref = rest[0]  # [Q, 1] f32 per-query dequant scales
+            rest = rest[1:]
     if use_mask:
         rowmask_ref = rest[0]  # [1, BN] int32 bitmask
         qmask_ref = rest[1]  # [Q, 1] int32 bitmask (resident, like q)
@@ -96,7 +100,27 @@ def _topk_kernel(
         sidx_ref[srows, :] = jnp.full((qn, LANES), -1, jnp.int32)
 
     # ---- score the block on the MXU (fp32 accumulation) ----
-    if use_int8:
+    if use_int8 and int8_mode == "s8s8":
+        # both operands int8: the MXU's native s8xs8->s32 path (double
+        # MAC rate on v5e); dequant = per-query scale x per-row scale
+        # applied to the s32 accumulator
+        raw = jax.lax.dot_general(
+            q,
+            x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = raw.astype(jnp.float32) * scales_ref[:] * qscale_ref[srows, :]
+    elif use_int8 and int8_mode == "nodequant":
+        # PERF PROBE ONLY (recall-broken): same stream, no [QB,BN] scale
+        # pass — isolates the VPU dequant cost from the HBM stream
+        scores = jax.lax.dot_general(
+            q.astype(jnp.bfloat16),
+            x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    elif use_int8:
         # int8 STORAGE, bf16 COMPUTE: the index streams at half the
         # bytes; int8 values are exact in bf16 (8 significand bits),
         # queries stay bf16 (no query quantization error). The s8
@@ -207,6 +231,7 @@ def _build_call(
     use_int8: bool,
     interpret: bool,
     q_block: int | None = None,
+    int8_mode: str = "row",
 ):
     if k > LANES:
         raise ValueError(
@@ -228,6 +253,7 @@ def _build_call(
         q_block=q_block,
         use_mask=use_mask,
         use_int8=use_int8,
+        int8_mode=int8_mode,
     )
     # inner (fast) grid axis = query tiles: the x block index is constant
     # across it, so Pallas keeps the block resident and the index streams
@@ -243,6 +269,10 @@ def _build_call(
         in_specs += [
             pl.BlockSpec((1, block_rows), lambda i, qb: (0, i), memory_space=pltpu.VMEM),
         ]
+        if int8_mode == "s8s8":
+            in_specs += [
+                pl.BlockSpec((qn, 1), lambda i, qb: (0, 0), memory_space=pltpu.VMEM),
+            ]
     if use_mask:
         in_specs += [
             pl.BlockSpec((1, block_rows), lambda i, qb: (0, i), memory_space=pltpu.VMEM),
@@ -279,7 +309,14 @@ def _vmem_need(
 ) -> int:
     """Rough scoped-VMEM bytes for one (block, tile) step: the [BN, D]
     input tile plus the merge/score arrays that scale with QB·BN, plus
-    the FULL resident query batch and scratch (which scale with Q)."""
+    the FULL resident query batch and scratch (which scale with Q).
+
+    ``max(itemsize, 2)`` charges the resident queries: every wrapper
+    hands the kernel queries at ``max(index_itemsize, 2)`` bytes — the
+    int8 path casts them to bf16 before the call
+    (``_fused_topk_int8_jit``), f32 paths pass f32 — so the query term
+    is exact, not an undercount (round-2 advisor note checked: wrong).
+    """
     if qn is None:
         qn = q_block
     return block_rows * (16 * q_block + d * itemsize) + qn * (
@@ -453,13 +490,27 @@ def fused_topk_masked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_rows", "interpret"),
+    static_argnames=("k", "block_rows", "interpret", "variant"),
 )
-def _fused_topk_int8_jit(values, scales, queries, nvalid, k, block_rows, interpret):
+def _fused_topk_int8_jit(values, scales, queries, nvalid, k, block_rows, interpret,
+                         variant="row"):
+    # int8 queries need 32-row sublane alignment; bf16 needs 16 — pad to
+    # 32 in the s8s8 variant, 8 (f32 pad, cast later) otherwise
+    if variant == "s8s8":
+        qf = _pad_rows(queries.astype(jnp.float32), 32)
+        qn, d = qf.shape
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+        call = _build_call(
+            values.shape[0], d, qn, k, block_rows, jnp.int8, False, True,
+            interpret, int8_mode="s8s8",
+        )
+        return call(nvalid, q8, values, scales.reshape(1, -1), qs)
     queries = _pad_rows(queries.astype(jnp.float32), 8)
     qn, d = queries.shape
     call = _build_call(
-        values.shape[0], d, qn, k, block_rows, jnp.int8, False, True, interpret
+        values.shape[0], d, qn, k, block_rows, jnp.int8, False, True, interpret,
+        int8_mode=variant,
     )
     return call(
         nvalid,
@@ -478,10 +529,17 @@ def fused_topk_int8(
     n_valid: int | None = None,
     block_rows: int | None = None,
     interpret: bool | None = None,
+    _variant: str = "row",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """int8-stored index scanned with bf16 compute: half the HBM bytes,
     native MXU matmul, per-row scales recover cosine scores (int8 values
-    are exact in bf16, so the only loss is the quantization itself)."""
+    are exact in bf16, so the only loss is the quantization itself).
+
+    ``_variant`` selects experimental scoring paths ("row" is the
+    shipped default; "s8s8" quantizes queries and runs the native
+    s8xs8->s32 MXU path; "nodequant" is a perf probe with broken
+    recall — profiling only, see tools/profile_int8.py).
+    """
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]
@@ -491,7 +549,8 @@ def fused_topk_int8(
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_int8_jit(
-        values, scales, queries, nvalid, k, block_rows, interpret
+        values, scales, queries, nvalid, k, block_rows, interpret,
+        variant=_variant,
     )
     return _trim(vals, ids, qn)
 

@@ -147,9 +147,13 @@ def dehyphenate(text: str) -> str:
 #   protection/normalization this pipeline already does in formulas.py);
 # - greedy quote tightening (#10 matches across arbitrarily long spans).
 _POLISH_PASSES = (
-    # broken URLs/emails: a dot/@ spaced on BOTH sides almost never
-    # occurs in prose ("word. Next" has the space only after)
-    (re.compile(r"([A-Za-z0-9])\s+([@.])\s+([A-Za-z0-9])"), r"\1\2\3"),
+    # broken URLs/emails: glue "example . com" / "user @ domain". Single
+    # SPACES only and a lowercase/digit continuation: \s+ matched
+    # newlines, so "end .\nNext" (a plain spaced sentence period, common
+    # in PDF extractions) was glued across the sentence boundary; prose
+    # after ". " is capitalized while domain labels/TLDs are not. The
+    # lookahead keeps overlapping repairs working ("www . ex . com").
+    (re.compile(r"([A-Za-z0-9]) ([@.]) (?=[a-z0-9])"), r"\1\2"),
     # citation brackets: [ 12 ] -> [12]
     (re.compile(r"\[\s+(\d+)\s*\]|\[\s*(\d+)\s+\]"), lambda m: f"[{m.group(1) or m.group(2)}]"),
     # references broken across a line break: "Figure\n 3" -> "Figure 3"

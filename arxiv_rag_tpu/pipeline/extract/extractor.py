@@ -186,6 +186,7 @@ class PDFExtractor:
         ocr: Callable[..., str] | None = None,
         ocr_accept_score: float = 0.6,
         ocr_rescue_score: float = 0.45,
+        figure_ocr: bool = True,
     ) -> None:
         self.cache_dir = Path(cache_dir) if cache_dir else None
         self.accept_score = accept_score
@@ -196,6 +197,10 @@ class PDFExtractor:
         self.ocr = ocr
         self.ocr_accept_score = ocr_accept_score
         self.ocr_rescue_score = ocr_rescue_score
+        # figure OCR: recover text inside images embedded in born-digital
+        # pages and merge it next to the figure's caption (reference
+        # ``pdf_extractor.py:5221-5506``); needs the same hook
+        self.figure_ocr = figure_ocr
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
 
@@ -328,13 +333,114 @@ class PDFExtractor:
                 "", [], "none", 0.0, pdf_type, False,
                 metadata={"num_pages": n_pages}, error="all strategies failed",
             )
-        return self._finalize(best, pdf_type, t0)
+
+        # figure OCR: text pages can carry image XObjects whose content
+        # (plot labels, diagram text) the text strategies can't see —
+        # route them through the same OCR hook and merge next to the
+        # figure captions (reference ``pdf_extractor.py:5221-5506``;
+        # round-2 gap: images on text pages never reached the hook)
+        extra_meta: dict = {}
+        if (
+            self.ocr is not None
+            and self.figure_ocr
+            and best[1] != "ocr"
+            and pdf_type in ("text", "hybrid")
+        ):
+            best, fig_meta = self._merge_figure_ocr(doc, best)
+            if fig_meta:
+                extra_meta["figure_ocr"] = fig_meta
+
+        return self._finalize(best, pdf_type, t0, extra_meta)
+
+    # caption anchors, matching crossref.py's "Figure N" taxonomy
+    _CAPTION_RE = None  # compiled lazily below (module import order)
+
+    def _merge_figure_ocr(
+        self, doc: pdfcore.Document, best: tuple[float, str, list[str], QualityReport]
+    ) -> tuple[tuple[float, str, list[str], QualityReport], dict | None]:
+        """OCR image XObjects on text pages; append recovered text to the
+        page, labeled with the page's Figure captions when they pair up
+        1:1 in order. The text strategies' quality score is kept — figure
+        text is additive evidence, and re-scoring would let noisy plot
+        labels depress an otherwise clean extraction."""
+        import re
+
+        if PDFExtractor._CAPTION_RE is None:
+            PDFExtractor._CAPTION_RE = re.compile(
+                r"\b(?:Figure|Fig\.)\s*(\d+)", re.IGNORECASE
+            )
+        score, method, pages, rep = best
+        pages = list(pages)
+        n_images = n_recovered = 0
+        figures: list[dict] = []
+        try:
+            for i, page in enumerate(doc.pages()):
+                if i >= len(pages):
+                    break
+                recovered: list[str] = []
+                for img in self.page_images(doc, page):
+                    n_images += 1
+                    d = img.dict
+                    try:
+                        data = img.data()
+                    except pdfcore.PDFError:
+                        continue
+                    try:
+                        txt = self.ocr(
+                            data,
+                            width=int(doc.resolve(d.get("Width", 0))),
+                            height=int(doc.resolve(d.get("Height", 0))),
+                            bits_per_component=int(
+                                doc.resolve(d.get("BitsPerComponent", 8))
+                            ),
+                            colorspace=str(doc.resolve(d.get("ColorSpace", ""))),
+                        )
+                    except Exception as exc:  # noqa: BLE001 — best-effort
+                        log.debug("figure ocr failed on page %d: %s", i + 1, exc)
+                        continue
+                    if txt and txt.strip():
+                        n_recovered += 1
+                        recovered.append(txt.strip())
+                if not recovered:
+                    continue
+                captions = PDFExtractor._CAPTION_RE.findall(pages[i])
+                blocks = []
+                for j, txt in enumerate(recovered):
+                    # pair image j with caption j only when the page's
+                    # figure count matches its image count — otherwise
+                    # the pairing is a guess; label by page instead
+                    if len(captions) == len(recovered):
+                        label = f"Figure {captions[j]}"
+                    else:
+                        label = f"figure (page {i + 1})"
+                    blocks.append(f"[{label}] {txt}")
+                    figures.append(
+                        {
+                            "page": i + 1,
+                            "caption": (
+                                f"Figure {captions[j]}"
+                                if len(captions) == len(recovered)
+                                else None
+                            ),
+                            "chars": len(txt),
+                        }
+                    )
+                joiner = "\n\n" if pages[i] else ""
+                pages[i] = pages[i] + joiner + "\n\n".join(blocks)
+        except Exception as exc:  # noqa: BLE001 — never sink the extraction
+            log.warning("figure ocr pass failed: %s", exc)
+            return best, None
+        if not n_recovered:
+            return best, ({"images": n_images, "recovered": 0} if n_images else None)
+        meta = {"images": n_images, "recovered": n_recovered, "figures": figures}
+        return (score, method + "+figure_ocr", pages, rep), meta
 
     def _finalize(
         self,
         best: tuple[float, str, list[str], QualityReport],
         pdf_type: str,
         t0: float,
+        extra_meta: dict | None = None,
     ) -> ExtractionResult:
         score, method, pages, rep = best
         validation = validate_extraction(pages)
@@ -346,6 +452,8 @@ class PDFExtractor:
             "validation": validation.issues,
             "extract_seconds": round(time.perf_counter() - t0, 4),
         }
+        if extra_meta:
+            meta.update(extra_meta)
         text = "\n\n".join(pages)
         success = score >= self.min_score and bool(text.strip())
         return ExtractionResult(

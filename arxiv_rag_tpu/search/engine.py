@@ -106,6 +106,13 @@ class SearchEngine:
         if index._device_values is None:
             index.to_device()
         self._meta_cache: dict | None = None
+        # hydration routing: small corpora hydrate from one in-memory
+        # table (fast, simple); large ones hydrate lazily through the
+        # corpus's row-group cache so serving a 2M-row store never holds
+        # gigabytes of chunk text in host lists (round-2 weak #6).
+        # ``lazy_hydration`` forces either mode (tests; ops overrides).
+        self.lazy_hydration: bool | None = None
+        self._row_map = None  # index row -> corpus row (lazy mode)
 
     # -- dense ------------------------------------------------------------
 
@@ -287,26 +294,12 @@ class SearchEngine:
         categories: Sequence[str] | None = None,
         hybrid_alpha: float | None = None,
     ) -> list[list[SearchResult]]:
-        """End-to-end: encode → dense scan (→ hybrid merge) → hydrate."""
-        if self.embedder is None:
-            raise RuntimeError("SearchEngine needs an embedder for text queries")
-        k = k or self.cfg.top_k
-        with METRICS.timer("search.encode"):
-            query_embs = self._encode_queries(queries)
-        if hybrid_alpha is None and self.bm25 is not None:
-            hybrid_alpha = self.cfg.hybrid_alpha
-        rerank = self.reranker is not None
-        fetch_k = max(k, self.cfg.rerank_top_k) if rerank else k
-        if hybrid_alpha is not None and self.bm25 is not None and hybrid_alpha < 1.0:
-            scores, rows = self._hybrid(queries, query_embs, fetch_k, categories, hybrid_alpha)
-        else:
-            scores, rows = self.search_embeddings(query_embs, fetch_k, categories)
-        hydrated = [self._hydrate(scores[i], rows[i]) for i in range(len(queries))]
-        if rerank:
-            hydrated = [
-                self._rerank_one(q, hits, k) for q, hits in zip(queries, hydrated)
-            ]
-        return hydrated
+        """End-to-end: encode → dense scan (→ hybrid merge → rerank) →
+        hydrate. One code path with :meth:`search_dispatch` — this is
+        just dispatch + immediate finish."""
+        return self.search_dispatch(
+            queries, k=k, categories=categories, hybrid_alpha=hybrid_alpha
+        )()
 
     def _encode_queries(self, queries: Sequence[str]) -> np.ndarray:
         """Query embeddings as numpy.  A device-resident handoff
@@ -327,28 +320,25 @@ class SearchEngine:
     ):
         """Pipelined form of :meth:`search`: dispatch the device work now,
         return a ``finish() -> list[list[SearchResult]]`` closure that
-        fetches and hydrates.  The dense-only path (the serving hot
-        config) overlaps device execution with the caller's next
-        dispatch; hybrid/rerank paths are host-bound per query, so they
-        run entirely inside ``finish`` (no overlap to win there)."""
+        fetches, merges and hydrates.  EVERY retrieval mode pipelines:
+        the dense scan is dispatched before ``finish``, so device
+        execution overlaps the caller's next dispatch; the host-bound
+        stages (BM25, hybrid merge, hydration, the bucketed cross-
+        encoder window) all run inside ``finish`` on the completion
+        thread (round-2 weak #4: hybrid/rerank used to degrade to a
+        fully synchronous per-query path)."""
         if self.embedder is None:
             raise RuntimeError("SearchEngine needs an embedder for text queries")
+        queries = list(queries)
+        qn = len(queries)
         k = k or self.cfg.top_k
         if hybrid_alpha is None and self.bm25 is not None:
             hybrid_alpha = self.cfg.hybrid_alpha
         hybrid = (
             hybrid_alpha is not None and self.bm25 is not None and hybrid_alpha < 1.0
         )
-        if hybrid or self.reranker is not None:
-            queries = list(queries)
-
-            def finish_sync() -> list[list[SearchResult]]:
-                return self.search(
-                    queries, k=k, categories=categories, hybrid_alpha=hybrid_alpha
-                )
-
-            return finish_sync
-        qn = len(queries)
+        rerank = self.reranker is not None
+        fetch_k = max(k, self.cfg.rerank_top_k) if rerank else k
         with METRICS.timer("search.encode"):
             # shape-stable device handoff: one padded batch per window,
             # embeddings never fetched to host — the whole window is two
@@ -356,52 +346,70 @@ class SearchEngine:
             # Falls back to the numpy hop for oversized windows or
             # embedders without the window API.
             window = getattr(self.embedder, "encode_window_device", None)
-            handoff = window(list(queries)) if window is not None else None
+            handoff = window(queries) if window is not None else None
             if handoff is not None:
                 query_embs, n_real = handoff
             else:
                 query_embs, n_real = self._encode_queries(queries), qn
-        fin = self.search_embeddings_dispatch(query_embs, k, categories,
+        c = max(fetch_k, self.cfg.rerank_top_k) if hybrid else fetch_k
+        fin = self.search_embeddings_dispatch(query_embs, c, categories,
                                               n_real=n_real)
 
         def finish() -> list[list[SearchResult]]:
-            scores, rows = fin()
-            return [self._hydrate(scores[i], rows[i]) for i in range(qn)]
+            dvals, drows = fin()
+            if hybrid:
+                scores, rows = self._hybrid_merge(
+                    queries, dvals, drows, fetch_k, categories, hybrid_alpha
+                )
+            else:
+                scores, rows = dvals, drows
+            hydrated = self._hydrate_window(scores, rows, qn)
+            if rerank:
+                hydrated = self._rerank_window(queries, hydrated, k)
+            return hydrated
 
         return finish
 
-    def _rerank_one(self, query: str, hits: list[SearchResult], k: int) -> list[SearchResult]:
-        """Cross-encoder pass over the candidate texts
-        (``config.yaml:67-69`` rerank_top_k semantics)."""
-        scored = [h for h in hits if h.text]
-        if not scored:
-            return hits[:k]
+    def _rerank_window(
+        self, queries: Sequence[str], hydrated: list[list[SearchResult]], k: int
+    ) -> list[list[SearchResult]]:
+        """Cross-encoder pass over the whole window's candidate texts
+        (``config.yaml:67-69`` rerank_top_k semantics). All pairs flow
+        through the reranker's bucketed batcher in one stream — device
+        dispatches are O(total_pairs / rerank_batch), not O(queries)."""
+        scored_lists = [[h for h in hits if h.text] for hits in hydrated]
         with METRICS.timer("search.rerank"):
-            ce_scores, order = self.reranker.rerank(query, [h.text for h in scored], k)
-        out = []
-        for s, idx in zip(ce_scores.tolist(), order.tolist()):
-            h = scored[idx]
-            h.extras["dense_score"] = h.score
-            h.score = float(s)
-            out.append(h)
-        # text-less candidates can't be cross-encoded; keep them after
-        # the reranked set (dense order) rather than dropping them
-        for h in hits:
-            if len(out) >= k:
-                break
-            if not h.text:
+            window = self.reranker.rerank_window(
+                queries, [[h.text for h in sl] for sl in scored_lists], k
+            )
+        out_all = []
+        for hits, scored, (ce_scores, order) in zip(hydrated, scored_lists, window):
+            out = []
+            for s, idx in zip(ce_scores.tolist(), order.tolist()):
+                h = scored[idx]
+                h.extras["dense_score"] = h.score
+                h.score = float(s)
                 out.append(h)
-        return out
+            # text-less candidates can't be cross-encoded; keep them after
+            # the reranked set (dense order) rather than dropping them
+            for h in hits:
+                if len(out) >= k:
+                    break
+                if not h.text:
+                    out.append(h)
+            out_all.append(out)
+        return out_all
 
-    def _hybrid(self, queries, query_embs, k, categories, alpha):
-        """Union of dense and BM25 candidates, min-max normalized,
-        combined as alpha·dense + (1-alpha)·bm25.
+    def _hybrid_merge(self, queries, dvals, drows, k, categories, alpha):
+        """Union of (pre-fetched) dense and BM25 candidates, min-max
+        normalized, combined as alpha·dense + (1-alpha)·bm25.
 
-        The union/merge is vectorized (np.unique scatter) — the round-1
-        per-candidate dict loop dominated latency at serving batch sizes
-        (Q=512 × c=50 candidates)."""
-        c = max(k, self.cfg.rerank_top_k)
-        dvals, drows = self.search_embeddings(query_embs, c, categories)
+        Takes the dense results as arguments so the device scan can be
+        dispatched BEFORE the host-side BM25 work (search_dispatch
+        pipelining). The union/merge is vectorized (np.unique scatter) —
+        the round-1 per-candidate dict loop dominated latency at serving
+        batch sizes (Q=512 × c=50 candidates)."""
+        c = dvals.shape[1]  # dense candidate count; BM25 fetches the same
         out_scores = np.full((len(queries), k), -np.inf, np.float32)
         out_rows = np.full((len(queries), k), -1, np.int64)
         cat_bits = (
@@ -448,13 +456,91 @@ class SearchEngine:
 
     # -- hydration ----------------------------------------------------------
 
+    _META_COLS = ("chunk_id", "paper_id", "category", "section", "page", "text")
+    _EAGER_META_MAX_ROWS = 200_000
+
     _meta_by_id: dict = None
+
+    def _use_lazy_hydration(self) -> bool:
+        if self.corpus is None:
+            return False
+        if self.lazy_hydration is not None:
+            return self.lazy_hydration
+        n = getattr(self.corpus, "num_rows", None)
+        return (
+            getattr(self.corpus, "take_rows", None) is not None
+            and n is not None
+            and n > self._EAGER_META_MAX_ROWS
+        )
+
+    def _index_to_corpus_rows(self):
+        """Index row → corpus row map for lazy hydration. ``None`` means
+        identity (index built over the whole corpus in row order);
+        otherwise an int64 array built by one streaming pass over the
+        chunk_id column — no text is ever materialized."""
+        if self._row_map is None:
+            if self.index.chunk_ids is None:
+                self._row_map = "identity"
+            else:
+                want = {cid: i for i, cid in enumerate(self.index.chunk_ids)}
+                arr = np.full(len(self.index.chunk_ids), -1, np.int64)
+                crow = 0
+                for batch in self.corpus.iter_batches(columns=["chunk_id"]):
+                    for cid in batch.column("chunk_id").to_pylist():
+                        j = want.get(cid)
+                        if j is not None and arr[j] < 0:
+                            arr[j] = crow
+                        crow += 1
+                del want
+                self._row_map = arr
+        return None if isinstance(self._row_map, str) else self._row_map
+
+    def _hydrate_window(self, scores, rows, qn) -> list[list[SearchResult]]:
+        """Hydrate a whole window: one bulk row fetch for all queries.
+        Lazy mode touches only the Parquet row groups containing hits
+        (bounded cache in CorpusReader.take_rows); eager mode keeps the
+        round-2 in-memory table for small corpora."""
+        if not self._use_lazy_hydration():
+            return [self._hydrate(scores[i], rows[i]) for i in range(qn)]
+        rmap = self._index_to_corpus_rows()
+        keep: list[list[tuple[int, float, int]]] = []  # (index_row, score, flat_pos|-1)
+        flat_corpus_rows: list[int] = []
+        for qi in range(qn):
+            entries = []
+            for s, r in zip(scores[qi].tolist(), rows[qi].tolist()):
+                if r < 0 or not np.isfinite(s):
+                    continue
+                cr = int(r) if rmap is None else int(rmap[r])
+                if cr >= 0:
+                    entries.append((int(r), float(s), len(flat_corpus_rows)))
+                    flat_corpus_rows.append(cr)
+                else:  # chunk_id not in this corpus: keep score + id only
+                    entries.append((int(r), float(s), -1))
+            keep.append(entries)
+        with METRICS.timer("search.hydrate"):
+            tbl = self.corpus.take_rows(flat_corpus_rows, columns=list(self._META_COLS))
+        cols = {name: tbl.column(name).to_pylist() for name in self._META_COLS}
+        out_all = []
+        for entries in keep:
+            out = []
+            for r, s, fp in entries:
+                res = SearchResult(row=r, score=s)
+                if self.index.chunk_ids is not None:
+                    res.chunk_id = self.index.chunk_ids[r]
+                if fp >= 0:
+                    res.chunk_id = cols["chunk_id"][fp]
+                    res.paper_id = cols["paper_id"][fp]
+                    res.category = cols["category"][fp]
+                    res.section = cols["section"][fp]
+                    res.page = int(cols["page"][fp])
+                    res.text = cols["text"][fp]
+                out.append(res)
+            out_all.append(out)
+        return out_all
 
     def _load_meta(self):
         if self._meta_cache is None and self.corpus is not None:
-            table = self.corpus.read_all(
-                columns=["chunk_id", "paper_id", "category", "section", "page", "text"]
-            )
+            table = self.corpus.read_all(columns=list(self._META_COLS))
             self._meta_cache = {
                 name: table.column(name).to_pylist() for name in table.schema.names
             }

@@ -112,6 +112,31 @@ class CrossEncoderReranker:
         k: int,
     ) -> tuple[np.ndarray, np.ndarray]:
         """(scores, order) of the top-k passages for one query."""
-        scores = self.score_pairs([(query, p) for p in passages])
-        order = np.argsort(-scores)[:k]
-        return scores[order], order
+        return self.rerank_window([query], [passages], k)[0]
+
+    def rerank_window(
+        self,
+        queries: Sequence[str],
+        passages_per_query: Sequence[Sequence[str]],
+        k: int,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batched rerank of a whole serving window: ALL (query, passage)
+        pairs across the window flow through ``score_pairs`` as one
+        bucketed stream, so device dispatches are O(total_pairs /
+        batch_size), not O(queries) (round-2 weak #3: a 512-query window
+        with per-query rerank was ~512 sequential device round trips
+        through the tunnel). Returns per-query (scores, order)."""
+        pairs = [
+            (q, p)
+            for q, passages in zip(queries, passages_per_query)
+            for p in passages
+        ]
+        flat = self.score_pairs(pairs)
+        out = []
+        pos = 0
+        for passages in passages_per_query:
+            s = flat[pos : pos + len(passages)]
+            pos += len(passages)
+            order = np.argsort(-s)[:k]
+            out.append((s[order], order))
+        return out

@@ -86,6 +86,11 @@ class MicroBatcher:
         key = (k, None if categories is None else tuple(categories), hybrid_alpha)
         job = _Job(list(queries), key)
         with self._wake:
+            # reject enqueues that race past close(): the loop thread has
+            # (or will have) drained the queue and exited, so a job
+            # appended now would block its handler thread forever
+            if self._closed:
+                raise RuntimeError("batcher closed")
             self._queue.append(job)
             self._pending += len(job.queries)
             self._wake.notify()

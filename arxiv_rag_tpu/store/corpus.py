@@ -115,7 +115,10 @@ class CorpusWriter:
         cols = {f.name: [row[f.name] for row in self._pending] for f in SCHEMA}
         table = pa.table(cols, schema=SCHEMA)
         tmp = self.directory / (name + ".tmp")
-        pq.write_table(table, tmp)
+        # modest row groups: take_rows() reads whole row groups, so the
+        # group size bounds lazy-hydration read amplification (8192 rows
+        # of ~1 KB text ≈ 8 MB per group vs 60+ MB for one whole shard)
+        pq.write_table(table, tmp, row_group_size=8192)
         tmp.replace(self.directory / name)  # atomic publish
         for row in self._pending:
             cat = row["category"]
@@ -153,12 +156,18 @@ class CorpusReader:
     """Reads the sharded store: full scans, column projection, category
     filters, and batched iteration sized for the TPU embed pass."""
 
-    def __init__(self, directory: str | Path) -> None:
+    def __init__(self, directory: str | Path, cache_bytes: int = 512 * 1024 * 1024) -> None:
         self.directory = Path(directory)
         manifest_path = self.directory / MANIFEST_NAME
         if not manifest_path.exists():
             raise FileNotFoundError(f"no corpus manifest at {manifest_path}")
         self.manifest = json.loads(manifest_path.read_text())
+        # row-group LRU for take_rows (lazy hydration): bounded by BYTES,
+        # not entries — text columns dominate and shard row groups vary
+        self.cache_bytes = cache_bytes
+        self._rg_cache: "dict[tuple, pa.Table]" = {}
+        self._rg_cache_size = 0
+        self._rg_index: list[tuple[int, list[int]]] | None = None
 
     @property
     def num_rows(self) -> int:
@@ -200,6 +209,80 @@ class CorpusReader:
                     batch = batch.filter(mask)
                 if batch.num_rows:
                     yield batch
+
+    # -- random access (lazy hydration) ---------------------------------
+
+    def _rowgroup_offsets(self) -> list[tuple[int, list[int]]]:
+        """Per shard: (shard row offset, row-group start offsets within
+        the shard). Built once from Parquet footers — no data reads."""
+        if self._rg_index is None:
+            idx = []
+            for shard, path in zip(self.manifest["shards"], self.shard_paths()):
+                meta = pq.ParquetFile(path).metadata
+                starts, pos = [], 0
+                for g in range(meta.num_row_groups):
+                    starts.append(pos)
+                    pos += meta.row_group(g).num_rows
+                idx.append((shard["row_offset"], starts))
+            self._rg_index = idx
+        return self._rg_index
+
+    def _load_rowgroup(self, shard_i: int, rg: int, columns: tuple) -> pa.Table:
+        key = (shard_i, rg, columns)
+        tbl = self._rg_cache.get(key)
+        if tbl is not None:
+            return tbl
+        path = self.shard_paths()[shard_i]
+        tbl = pq.ParquetFile(path).read_row_group(rg, columns=list(columns) or None)
+        self._rg_cache[key] = tbl
+        self._rg_cache_size += tbl.nbytes
+        # LRU-ish eviction (insertion order — access patterns here are
+        # bursty per serving window, so FIFO ≈ LRU in practice)
+        while self._rg_cache_size > self.cache_bytes and len(self._rg_cache) > 1:
+            old_key = next(iter(self._rg_cache))
+            if old_key == key:
+                break
+            self._rg_cache_size -= self._rg_cache.pop(old_key).nbytes
+        return tbl
+
+    def take_rows(self, rows: Sequence[int], columns: Sequence[str] | None = None) -> pa.Table:
+        """Random-access fetch of corpus rows, aligned to ``rows`` order
+        (duplicates allowed). Reads only the Parquet row groups that
+        contain requested rows, through a bounded cache — serving a
+        multi-million-row corpus never materializes the whole store
+        (round-2 weak #6: hydration used to hold every chunk text in
+        Python lists)."""
+        import bisect
+
+        import numpy as np
+
+        cols = tuple(columns) if columns else ()
+        rg_index = self._rowgroup_offsets()
+        shard_offsets = [off for off, _ in rg_index]
+        groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for pos, row in enumerate(rows):
+            row = int(row)
+            if row < 0 or row >= self.num_rows:
+                raise IndexError(f"corpus row {row} out of range [0, {self.num_rows})")
+            si = bisect.bisect_right(shard_offsets, row) - 1
+            local = row - shard_offsets[si]
+            starts = rg_index[si][1]
+            rg = bisect.bisect_right(starts, local) - 1
+            groups.setdefault((si, rg), []).append((local - starts[rg], pos))
+        parts: list[pa.Table] = []
+        perm = np.empty(len(list(rows)), np.int64)
+        base = 0
+        for (si, rg), entries in groups.items():
+            tbl = self._load_rowgroup(si, rg, cols)
+            parts.append(tbl.take([e[0] for e in entries]))
+            for j, (_, pos) in enumerate(entries):
+                perm[pos] = base + j
+            base += len(entries)
+        if not parts:
+            empty = SCHEMA.empty_table()
+            return empty.select(list(cols)) if cols else empty
+        combined = pa.concat_tables(parts)
+        return combined.take(perm)
 
     def texts(self, min_quality: float | None = None) -> list[str]:
         out: list[str] = []

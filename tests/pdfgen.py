@@ -225,3 +225,79 @@ def scanned_pdf(pages_text: list[str]) -> bytes:
         f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF".encode()
     )
     return bytes(buf)
+
+
+def text_pdf_with_figures(
+    pages: list[tuple[str, str | None]],
+) -> bytes:
+    """Born-digital pages that ALSO embed an image XObject: each entry is
+    (page_text, figure_text_or_None). Page text goes through normal text
+    operators (so detect_pdf_type says 'text'); the figure text is
+    encoded as a machine-glyph bitmap (decodable by toy_bitmap_ocr).
+    Exercises the figure-OCR routing (reference
+    pdf_extractor.py:5221-5506)."""
+    n_pages = len(pages)
+    objects: dict[int, bytes] = {}
+    stream_objs: dict[int, tuple[bytes, bytes]] = {}
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+    objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    first_img = 4 + n_pages
+    first_content = first_img + n_pages
+    for i, (text, figure) in enumerate(pages):
+        img_num = first_img + i
+        content_num = first_content + i
+        xobj = f"/XObject << /Im1 {img_num} 0 R >> " if figure is not None else ""
+        objects[4 + i] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> {xobj}>> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        lines = []
+        y = 750.0
+        for raw in text.split("\n"):
+            lines.append((72.0, y, raw))
+            y -= 12
+        cparts = [content_stream_for_lines(lines)]
+        if figure is not None:
+            data, w, h = glyph_bitmap(figure.split("\n"))
+            payload = zlib.compress(data)
+            idict = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                f"/Length {len(payload)} /Filter /FlateDecode >>"
+            ).encode()
+            stream_objs[img_num] = (idict, payload)
+            cparts.append(f"q {w} 0 0 {h} 72 300 cm /Im1 Do Q".encode())
+        cstream = b"\n".join(cparts)
+        stream_objs[content_num] = (
+            f"<< /Length {len(cstream)} >>".encode(), cstream)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(f"{num} 0 obj\n".encode())
+        buf.extend(body)
+        buf.extend(b"\nendobj\n")
+
+    for num in sorted(objects):
+        emit(num, objects[num])
+    for num in sorted(stream_objs):
+        sdict, payload = stream_objs[num]
+        emit(num, sdict + b"\nstream\n" + payload + b"\nendstream")
+    max_num = max(list(objects) + list(stream_objs))
+    xref_pos = len(buf)
+    buf.extend(f"xref\n0 {max_num + 1}\n".encode())
+    buf.extend(b"0000000000 65535 f \n")
+    for num in range(1, max_num + 1):
+        if num in offsets:
+            buf.extend(f"{offsets[num]:010d} 00000 n \n".encode())
+        else:  # figureless pages leave image-number gaps: free entries
+            buf.extend(b"0000000000 65535 f \n")
+    buf.extend(
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF".encode()
+    )
+    return bytes(buf)

@@ -201,3 +201,67 @@ def test_minilm_sentence_encoding_parity():
         params, jnp.asarray(data["ids"], jnp.int32), jnp.asarray(data["mask"], jnp.int32), SMALL
     )
     np.testing.assert_allclose(np.asarray(emb), data["pooled"], atol=1e-4)
+
+
+def test_reranker_window_batches_across_queries():
+    """A serving window's rerank must dispatch O(total_pairs/batch), not
+    O(queries) (round-2 weak #3: per-query rerank = ~Q sequential device
+    round trips through the tunnel)."""
+    rr = _fake_reranker()  # batch_size=8
+    queries = [f"query {i}" for i in range(16)]
+    passages = [[f"passage {i} {j}" for j in range(4)] for i in range(16)]
+    rr.stats.batches = 0
+    window = rr.rerank_window(queries, passages, k=2)
+    assert len(window) == 16
+    # 16 queries x 4 passages = 64 pairs / batch 8 = 8 dispatches, vs 16
+    # minimum for per-query dispatching
+    assert rr.stats.batches == 8
+    # parity with the single-query path
+    solo_scores, solo_order = rr.rerank(queries[3], passages[3], k=2)
+    np.testing.assert_allclose(window[3][0], solo_scores, atol=1e-5)
+    np.testing.assert_array_equal(window[3][1], solo_order)
+
+
+def test_reranker_window_in_engine_dispatch_counts():
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(0)
+    embs = rng.standard_normal((50, 16), dtype=np.float32)
+    idx = build_index(embs, dtype="float32")
+
+    class FakeEmbedder:
+        def encode_texts(self, texts):
+            out = rng.standard_normal((len(texts), 16)).astype(np.float32)
+            return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    class FakeCorpus:
+        def read_all(self, columns=None):
+            import pyarrow as pa
+
+            n = 50
+            return pa.table(
+                {
+                    "chunk_id": [f"c{i}" for i in range(n)],
+                    "paper_id": [f"p{i//5}" for i in range(n)],
+                    "category": ["cs.LG"] * n,
+                    "section": ["body"] * n,
+                    "page": [1] * n,
+                    "text": [f"passage {i} text" for i in range(n)],
+                }
+            )
+
+    rr = _fake_reranker()  # batch_size=8
+    engine = SearchEngine(idx, embedder=FakeEmbedder(), corpus=FakeCorpus(),
+                          reranker=rr, use_pallas=False)
+    rr.stats.batches = 0
+    results = engine.search([f"query {i}" for i in range(12)], k=5)
+    assert len(results) == 12 and all(len(r) == 5 for r in results)
+    # 12 queries x rerank_top_k(50 cap) candidates -> pairs flow through
+    # the bucketed batcher: ceil(12*50/8)=75 dispatches max, but the
+    # O(Q)-dispatch regression looked like ceil(50/8)*12=84; the real
+    # assertion is the window API was used (batches == ceil(total/8))
+    import math
+
+    total_pairs = sum(min(50, idx.num_rows) for _ in range(12))
+    assert rr.stats.batches == math.ceil(total_pairs / 8)

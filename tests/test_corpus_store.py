@@ -72,3 +72,42 @@ def test_progress_db_resume(tmp_path):
     # reopen — state persists
     with ProgressDB(tmp_path / "p.db") as db:
         assert db.done_set("extract") == {"a", "c"}
+
+
+def test_take_rows_random_access(tmp_path):
+    recs = _mk_records(25)
+    with CorpusWriter(tmp_path / "c", rows_per_shard=7) as w:
+        w.add_all(recs)
+    r = CorpusReader(tmp_path / "c")
+    full = r.read_all(columns=["chunk_id", "text", "page"])
+    rows = [24, 0, 13, 13, 7, 6, 21]  # scattered, duplicated, shard-crossing
+    got = r.take_rows(rows, columns=["chunk_id", "text", "page"])
+    assert got.num_rows == len(rows)
+    for out_i, row in enumerate(rows):
+        for col in ("chunk_id", "text", "page"):
+            assert got.column(col)[out_i].as_py() == full.column(col)[row].as_py()
+    # out-of-range is an error, not silent garbage
+    import pytest
+
+    with pytest.raises(IndexError):
+        r.take_rows([25])
+    with pytest.raises(IndexError):
+        r.take_rows([-1])
+    # empty request
+    assert r.take_rows([], columns=["text"]).num_rows == 0
+
+
+def test_take_rows_cache_bounded(tmp_path):
+    recs = _mk_records(40)
+    with CorpusWriter(tmp_path / "c", rows_per_shard=5) as w:
+        w.add_all(recs)
+    r = CorpusReader(tmp_path / "c", cache_bytes=1)  # force eviction
+    for start in range(0, 40, 5):
+        r.take_rows([start], columns=["text"])
+    # at most one resident group under a 1-byte budget
+    assert len(r._rg_cache) == 1
+    big = CorpusReader(tmp_path / "c")  # default budget: all groups stay
+    for start in range(0, 40, 5):
+        big.take_rows([start], columns=["text"])
+    assert len(big._rg_cache) == 8
+    assert big._rg_cache_size == sum(t.nbytes for t in big._rg_cache.values())

@@ -407,3 +407,45 @@ def test_engine_mask_excludes_everything():
     eng = SearchEngine(idx, use_pallas=False)
     vals, rows = eng.search_embeddings(embs[:2], k=5, categories=["cs.CV"])
     assert (rows == -1).all() or not np.isfinite(vals).any()
+
+
+def test_lazy_hydration_parity_and_no_full_read(stack):
+    """Lazy mode must hydrate identically to the in-memory table WITHOUT
+    ever materializing the corpus (round-2 weak #6: 2M-row serving held
+    every chunk text in Python lists)."""
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype="float32")
+    eager = SearchEngine(index, embedder=emb, corpus=corpus)
+    lazy_corpus = CorpusReader(d / "corpus")
+    lazy = SearchEngine(index, embedder=emb, corpus=lazy_corpus)
+    lazy.lazy_hydration = True
+    # a full-corpus materialization in lazy mode is the regression
+    lazy_corpus.read_all = None  # any call would TypeError
+    q = [texts[7], texts[20], texts[3]]
+    re, rl = eager.search(q, k=5), lazy.search(q, k=5)
+    assert [[ (h.row, h.chunk_id, h.paper_id, h.category, h.section, h.page, h.text)
+              for h in hits] for hits in re] == \
+           [[ (h.row, h.chunk_id, h.paper_id, h.category, h.section, h.page, h.text)
+              for h in hits] for hits in rl]
+    assert lazy._meta_cache is None
+
+
+def test_lazy_hydration_filtered_index_chunk_id_join(stack):
+    """Lazy hydration with an index over a SUBSET of the corpus must join
+    through chunk_ids (index row != corpus row)."""
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    keep = list(range(1, len(texts), 2))  # odd corpus rows only
+    sub_ids = [f"p{i:03d}#0" for i in keep]
+    index = build_index(vectors[keep], categories=[cats[i] for i in keep],
+                        dtype="float32", chunk_ids=sub_ids)
+    lazy = SearchEngine(index, embedder=emb, corpus=corpus)
+    lazy.lazy_hydration = True
+    res = lazy.search([texts[7]], k=3)
+    assert res[0][0].chunk_id == "p007#0"
+    assert res[0][0].text == texts[7]
+    # eager parity
+    eager = SearchEngine(index, embedder=emb, corpus=corpus)
+    eager.lazy_hydration = False
+    res_e = eager.search([texts[7]], k=3)
+    assert [(h.row, h.chunk_id, h.text) for h in res[0]] == \
+           [(h.row, h.chunk_id, h.text) for h in res_e[0]]

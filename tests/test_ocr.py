@@ -138,3 +138,99 @@ def test_chunk_pipeline_scanned_with_plugin_succeeds(tmp_path):
     stats = runner.run([("2401.66666", str(pdf), "cs.LG")], max_workers=0)
     assert stats["ok"] == 1, stats
     assert stats["chunks"] >= 1
+
+
+# ---- figure OCR: images embedded in born-digital pages --------------------
+
+PAGE_TEXT = (
+    "Dense retrieval with learned embeddings has become standard practice. "
+    "We report results across multiple benchmark collections in this work.\n"
+    "Figure 1 shows the throughput scaling across batch sizes and devices."
+)
+FIG_TEXT = "throughput qps 9000 batch 512 devices 8"
+
+
+def test_figure_ocr_merges_labeled_text():
+    from pdfgen import text_pdf_with_figures
+
+    buf = text_pdf_with_figures([(PAGE_TEXT, FIG_TEXT), (PAGE_TEXT.replace("Figure 1", "no caption here"), None)])
+    res = PDFExtractor(ocr=toy_bitmap_ocr).extract_bytes(buf)
+    assert res.success, res.error
+    assert res.pdf_type == "text"
+    assert res.method_used.endswith("+figure_ocr")
+    # recovered text lands on the figure's page, labeled with its caption
+    assert FIG_TEXT in res.pages[0]
+    assert "[Figure 1]" in res.pages[0]
+    assert FIG_TEXT not in res.pages[1]
+    meta = res.metadata["figure_ocr"]
+    assert meta["images"] == 1 and meta["recovered"] == 1
+    assert meta["figures"][0]["page"] == 1
+    assert meta["figures"][0]["caption"] == "Figure 1"
+
+
+def test_figure_ocr_without_caption_labels_by_page():
+    from pdfgen import text_pdf_with_figures
+
+    text = (
+        "A page about systems with an unreferenced diagram embedded below. "
+        "The prose runs long enough that type detection sees a text page "
+        "rather than a scanned one, which needs over a hundred characters."
+    )
+    buf = text_pdf_with_figures([(text, FIG_TEXT)])
+    res = PDFExtractor(ocr=toy_bitmap_ocr).extract_bytes(buf)
+    assert res.success
+    assert "[figure (page 1)]" in res.pages[0]
+    assert res.metadata["figure_ocr"]["figures"][0]["caption"] is None
+
+
+def test_figure_ocr_disabled_or_hookless_leaves_text_untouched():
+    from pdfgen import text_pdf_with_figures
+
+    buf = text_pdf_with_figures([(PAGE_TEXT, FIG_TEXT)])
+    res_no_hook = PDFExtractor().extract_bytes(buf)
+    assert res_no_hook.success and FIG_TEXT not in res_no_hook.text
+    res_off = PDFExtractor(ocr=toy_bitmap_ocr, figure_ocr=False).extract_bytes(buf)
+    assert res_off.success and FIG_TEXT not in res_off.text
+    assert "figure_ocr" not in res_off.metadata
+
+
+def test_figure_ocr_quality_score_not_depressed():
+    """Figure text is additive: merging noisy plot labels must not lower
+    the extraction's quality score below the text strategies' own."""
+    from pdfgen import text_pdf_with_figures
+
+    clean = PDFExtractor().extract_bytes(text_pdf_with_figures([(PAGE_TEXT, None)]))
+    merged = PDFExtractor(ocr=toy_bitmap_ocr).extract_bytes(
+        text_pdf_with_figures([(PAGE_TEXT, "x9 #q$ 17 zz !!")])
+    )
+    assert merged.quality_score >= clean.quality_score - 1e-9
+
+
+def test_chunk_pipeline_figure_text_reaches_corpus(tmp_path):
+    """End to end through the chunk pipeline: figure text recovered from
+    an image on a text page is searchable corpus text."""
+    from pdfgen import text_pdf_with_figures
+    from arxiv_rag_tpu.config import load_config
+    from arxiv_rag_tpu.pipeline.runner import PipelineRunner
+    from arxiv_rag_tpu.store import CorpusReader
+
+    body = "\n".join(
+        f"Line {i}: retrieval systems embed chunks for approximate search."
+        for i in range(30)
+    ) + "\nFigure 1 compares quantized and full-precision index variants."
+    pdf = tmp_path / "pdfs" / "cs.IR" / "2402" / "2402.77777.pdf"
+    pdf.parent.mkdir(parents=True)
+    pdf.write_bytes(text_pdf_with_figures([(body, "int8 index reaches 1263 qps")]))
+    cfg = load_config(
+        overrides={
+            "paths.root": str(tmp_path / "data"),
+            "extraction.ocr_enabled": True,
+            "extraction.ocr_plugin": "arxiv_rag_tpu.pipeline.extract.ocr:toy_bitmap_ocr",
+        },
+        environ={},
+    )
+    runner = PipelineRunner(cfg, corpus_dir=tmp_path / "corpus")
+    stats = runner.run([("2402.77777", str(pdf), "cs.IR")], max_workers=0)
+    assert stats["ok"] == 1, stats
+    texts = CorpusReader(tmp_path / "corpus").texts()
+    assert any("1263 qps" in t for t in texts), "figure text must reach the corpus"

@@ -72,6 +72,11 @@ def test_polish_extracted_text():
     assert p("user @ example . com") == "user@example.com"
     # prose periods (space only after) are untouched
     assert p("the end. Next sentence") == "the end. Next sentence"
+    # spaced sentence periods stay sentences: capitalized continuation
+    # and newline separators are boundaries, not split URLs (round-2
+    # advisor finding: \s+ glued "end .\nNext" into "end.Next")
+    assert p("the end . Next sentence") == "the end . Next sentence"
+    assert p("the end .\nnext line") == "the end .\nnext line"
     # citations, cross-line references, abbreviations
     assert p("as shown in [ 12 ] and [3 ]") == "as shown in [12] and [3]"
     assert p("see Figure\n 3 and Table\n2") == "see Figure 3 and Table 2"

@@ -1,0 +1,119 @@
+"""Measure the device's pure-read rate as a function of dtype.
+
+Round-3 question: the int8 fused scan runs at the SAME wall time as the
+bf16 scan on 2M rows (~36 ms, tools/profile_int8.py), i.e. halving the
+HBM bytes buys ~nothing. Either the kernel serializes something, or
+this device streams ELEMENTS at a fixed rate rather than bytes (the
+measured bf16 "read BW" of 84-85 GB/s is ~1/10 of v5e spec, consistent
+with a virtualized/shared pool). This probe times the same ones-matmul
+read reference bench.py uses, over the SAME 2M x 768 data stored as
+f32 / bf16 / int8, interleaved in one process.
+
+If time scales with bytes -> bandwidth-bound, the int8 kernel leaves
+~2x on the table. If time is ~constant -> element-rate-bound, and the
+int8 "ceiling" in VERDICT weak #1 was a phantom.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+T0 = time.perf_counter()
+
+
+def log(msg: str) -> None:
+    print(f"[bw +{time.perf_counter() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/arag_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    n, d = 2_000_000, 768
+    log(f"backend={jax.default_backend()}")
+
+    @partial(jax.jit, static_argnums=0)
+    def make(rows):
+        x = jax.random.normal(jax.random.PRNGKey(1), (rows, d), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    x32 = make(n)
+    x32.block_until_ready()
+    xb = (x32.astype(jnp.bfloat16)).block_until_ready()
+    x8 = jnp.clip(jnp.round(x32 * 127.0 / 0.2), -127, 127).astype(jnp.int8)
+    x8.block_until_ready()
+    log("arrays ready (f32 6.1GB, bf16 3.1GB, int8 1.5GB)")
+
+    ones8_f32 = jnp.ones((d, 8), jnp.float32)
+    ones8_bf = jnp.ones((d, 8), jnp.bfloat16)
+    ones8_i8 = jnp.ones((d, 8), jnp.int8)
+
+    mm = jax.jit(
+        lambda x, o: jnp.sum(
+            jax.lax.dot_general(
+                x, o, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        )
+    )
+    # int8 read probes: (a) widen to bf16 then matmul (what the fused
+    # kernel's "row" mode asks of Mosaic), (b) native s8xs8->s32
+    mm_widen = jax.jit(
+        lambda x, o: jnp.sum(
+            jax.lax.dot_general(
+                x.astype(jnp.bfloat16), o,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        )
+    )
+    mm_s32 = jax.jit(
+        lambda x, o: jnp.sum(
+            jax.lax.dot_general(
+                x, o, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+        )
+    )
+    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+    cases = {
+        "mm_f32": (lambda: mm(x32, ones8_f32), 4),
+        "mm_bf16": (lambda: mm(xb, ones8_bf), 2),
+        "mm_int8_widen": (lambda: mm_widen(x8, ones8_bf), 1),
+        "mm_int8_s32": (lambda: mm_s32(x8, ones8_i8), 1),
+        "red_f32": (lambda: red(x32), 4),
+        "red_bf16": (lambda: red(xb), 2),
+        "red_int8": (lambda: red(x8), 1),
+    }
+    for name, (fn, _) in cases.items():
+        _ = np.asarray(fn())
+        log(f"{name} warm")
+
+    reps = 6
+    lat: dict[str, list[float]] = {k: [] for k in cases}
+    for r in range(reps):
+        for name, (fn, _) in cases.items():
+            t0 = time.perf_counter()
+            _ = np.asarray(fn())
+            lat[name].append(time.perf_counter() - t0)
+        log(f"rep {r + 1}/{reps}")
+
+    out = {}
+    for name, (_, itemsize) in cases.items():
+        med = sorted(lat[name])[len(lat[name]) // 2]
+        gbps = n * d * itemsize / med / 1e9
+        eps = n * d / med / 1e9
+        out[name] = {"ms": round(med * 1e3, 2), "GBps": round(gbps, 1),
+                     "Gelem_per_s": round(eps, 2)}
+        log(f"{name}: {med * 1e3:.1f} ms = {gbps:.0f} GB/s = {eps:.2f} Gelem/s")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
