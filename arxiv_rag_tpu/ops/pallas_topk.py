@@ -35,6 +35,13 @@ Design:
 
 Equal-memory recall parity vs the numpy oracle is tested in
 tests/test_pallas_topk.py (interpret mode on CPU; compiled on TPU).
+
+Measured regimes (round 3, amortized — see CLAUDE.md on the tunnel
+RTT): at small Q the scan is read-bound (bf16 at ~100% of the ones-
+matmul read probe; int8 at ~90% of ITS probe — int8 streams ~1.4x
+elements/s on this device, not 2x bytes). At serving batch (Q=512) the
+kernel is compute-bound (merge VPU + MXU), where the s8xs8->s32 MXU
+path ("s8s8", the int8 default) buys +79% over bf16.
 """
 
 from __future__ import annotations
@@ -358,24 +365,28 @@ def _auto_q_block(
 def _auto_block_rows(
     qn: int, requested: int | None, d: int = 768, itemsize: int = 2
 ) -> int:
-    """Largest power-of-two row block that keeps the kernel inside the
-    ~16 MB scoped-VMEM budget. The merge path materializes ~3 arrays of
-    [QB, block+LANES] plus the [QB, block] scores and the [block, D]
-    input tile. With query tiling, QB is capped at 64, so the block no
-    longer shrinks as the query batch grows (the round-1 Q=512 ceiling);
-    only the index dtype moves it (f32 tiles are twice bf16's bytes).
+    """Largest power-of-two row block for which SOME aligned query tile
+    fits the scoped-VMEM budget (the tile itself is then picked by
+    ``_auto_q_block`` given this block).
+
+    Round-3 measurement (amortized, 2M rows): block size beats query-
+    tile width when they compete for VMEM. The int8 path at Q=512 runs
+    18.7 ms with 4096-row blocks x 64-query tiles vs 46.8 ms with
+    2048 x 128 (the old tile-first choice); bf16 is neutral (33.6 vs
+    33.2 ms). So prefer the largest block any tile fits, not the widest
+    tile.
     """
     if requested is not None:
         return requested
-    qb = _auto_q_block(qn, None, d, itemsize)
-    best = 512
-    b = 512
-    while b <= 4096:
-        if _vmem_need(qb, b, d, itemsize, qn) > _VMEM_BUDGET:
-            break
-        best = b
-        b *= 2
-    return best
+    qbs = ([qn] if qn <= 64 else []) + [
+        qb for qb in (128, 64, 32, 16, 8) if qb <= qn and qn % qb == 0
+    ]
+    if not qbs:
+        qbs = [8]
+    for b in (4096, 2048, 1024, 512):
+        if any(_vmem_need(qb, b, d, itemsize, qn) <= _VMEM_BUDGET for qb in qbs):
+            return b
+    return 512
 
 
 def _pad_rows(x: np.ndarray | jnp.ndarray, multiple: int) -> jnp.ndarray:
@@ -529,16 +540,22 @@ def fused_topk_int8(
     n_valid: int | None = None,
     block_rows: int | None = None,
     interpret: bool | None = None,
-    _variant: str = "row",
+    _variant: str = "s8s8",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """int8-stored index scanned with bf16 compute: half the HBM bytes,
-    native MXU matmul, per-row scales recover cosine scores (int8 values
-    are exact in bf16, so the only loss is the quantization itself).
+    """int8-stored index scan: half the HBM bytes, per-row scales
+    recover cosine scores.
 
-    ``_variant`` selects experimental scoring paths ("row" is the
-    shipped default; "s8s8" quantizes queries and runs the native
-    s8xs8->s32 MXU path; "nodequant" is a perf probe with broken
-    recall — profiling only, see tools/profile_int8.py).
+    ``_variant`` selects the scoring path:
+    - "s8s8" (DEFAULT since round 3): queries quantized per-row to int8,
+      native s8xs8->s32 MXU matmul (double MAC rate on v5e), dequant =
+      query scale x row scale on the s32 accumulator. Measured 27,319
+      qps vs row's 23,687 @Q=512 on 2M rows (amortized, +15%; +79% over
+      the bf16 kernel), recall@10 = 1.0 at 2M with tie_tol 2e-2 — the
+      index's own int8 quantization error dominates the query's.
+    - "row": bf16 compute — s8 index operand widened in the MXU feed,
+      queries stay bf16 (no query quantization at all).
+    - "nodequant": perf probe with broken recall (profiling only, see
+      tools/profile_int8.py).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -557,15 +574,32 @@ def fused_topk_int8(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_rows", "interpret"),
+    static_argnames=("k", "block_rows", "interpret", "variant"),
 )
 def _fused_topk_int8_masked_jit(values, scales, row_masks, query_mask, queries,
-                                nvalid, k, block_rows, interpret):
+                                nvalid, k, block_rows, interpret,
+                                variant="row"):
+    if variant == "s8s8":
+        qf = _pad_rows(queries.astype(jnp.float32), 32)
+        query_mask = _pad_rows(query_mask.reshape(-1, 1), 32)
+        qn, d = qf.shape
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+        call = _build_call(
+            values.shape[0], d, qn, k, block_rows, jnp.int8, True, True,
+            interpret, int8_mode="s8s8",
+        )
+        return call(
+            nvalid, q8, values, scales.reshape(1, -1), qs,
+            row_masks.reshape(1, -1).astype(jnp.int32),
+            query_mask.astype(jnp.int32),
+        )
     queries = _pad_rows(queries.astype(jnp.float32), 8)
     query_mask = _pad_rows(query_mask.reshape(-1, 1), 8)
     qn, d = queries.shape
     call = _build_call(
-        values.shape[0], d, qn, k, block_rows, jnp.int8, True, True, interpret
+        values.shape[0], d, qn, k, block_rows, jnp.int8, True, True, interpret,
+        int8_mode=variant,
     )
     return call(
         nvalid,
@@ -588,10 +622,12 @@ def fused_topk_int8_masked(
     n_valid: int | None = None,
     block_rows: int | None = None,
     interpret: bool | None = None,
+    _variant: str = "s8s8",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Metadata-filtered int8-storage scan (bf16 compute), fully fused:
-    half the HBM bytes AND exact category filtering in one kernel pass
-    (BASELINE configs[4] combined with configs[3])."""
+    """Metadata-filtered int8-storage scan, fully fused: half the HBM
+    bytes AND exact category filtering in one kernel pass (BASELINE
+    configs[4] combined with configs[3]). ``_variant`` as in
+    :func:`fused_topk_int8` ("s8s8" default since round 3)."""
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]
@@ -602,6 +638,7 @@ def fused_topk_int8_masked(
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_int8_masked_jit(
-        values, scales, row_masks, query_mask, queries, nvalid, k, block_rows, interpret
+        values, scales, row_masks, query_mask, queries, nvalid, k, block_rows,
+        interpret, variant=_variant,
     )
     return _trim(vals, ids, qn)

@@ -71,6 +71,11 @@ def _pallas_local(shard, q, k, local_valid, block_rows,
 
     Handles all four variants; shard-local row padding to a block
     multiple pads masks with 0 (ineligible) and scales with 0.
+
+    The int8 path here uses the "row" scoring mode (bf16 compute): the
+    single-chip default moved to "s8s8" in round 3 (+15% at Q=512), but
+    plumbing the per-query scale operand through shard_map is untested
+    on a real multi-chip mesh — switch after an on-hardware parity run.
     """
     from arxiv_rag_tpu.ops.pallas_topk import _build_call
 

@@ -39,9 +39,43 @@ class BM25Index:
         self.doc_lens: np.ndarray | None = None
         self.avg_len: float = 0.0
         self.num_docs: int = 0
+        # derived caches (built once, lazily): per-term idf, per-doc
+        # length norm, and a scratch accumulator reused across queries —
+        # the round-2 scores() path recomputed doc_lens/avg_len and
+        # allocated a dense [num_docs] vector per query (weak #5)
+        self._idf_arr: np.ndarray | None = None
+        self._norm: np.ndarray | None = None
+        self._scratch: np.ndarray | None = None
 
     @classmethod
-    def build(cls, texts: Sequence[str], k1: float = 1.5, b: float = 0.75) -> "BM25Index":
+    def build(
+        cls,
+        texts: Sequence[str],
+        k1: float = 1.5,
+        b: float = 0.75,
+        native: bool | None = None,
+    ) -> "BM25Index":
+        """Build the inverted index. ``native=None`` auto-routes: the C++
+        builder (native/bm25.cpp) for large corpora — the pure-Python
+        per-token dict loop is ~360M interpreter ops at the 2M-chunk
+        target — with the Python loop as portable fallback.
+
+        Known tokenizer divergence in the native path: code points whose
+        ``str.lower()`` maps INTO ascii (e.g. U+0130, U+212A) are
+        separators natively but yield letters in Python. Vanishingly
+        rare in arXiv text; everything ASCII-representable is identical.
+        """
+        if native is None:
+            native = len(texts) >= 10_000
+        if native:
+            from arxiv_rag_tpu.search import bm25_native
+
+            csr = bm25_native.build_postings(texts)
+            if csr is not None:
+                terms, flat_ids, flat_tfs, posting_offsets, doc_lens = csr
+                return cls._from_csr(
+                    terms, flat_ids, flat_tfs, posting_offsets, doc_lens, k1, b
+                )
         idx = cls(k1, b)
         term_docs: dict[str, dict[int, int]] = {}
         doc_lens = np.zeros(len(texts), np.float32)
@@ -63,33 +97,87 @@ class BM25Index:
             idx.postings.append(_Postings(ids[order], tfs[order]))
         return idx
 
-    def _idf(self, term_id: int) -> float:
-        df = len(self.postings[term_id].doc_ids)
-        return float(np.log((self.num_docs - df + 0.5) / (df + 0.5) + 1.0))
+    @classmethod
+    def _from_csr(
+        cls, terms, flat_ids, flat_tfs, posting_offsets, doc_lens,
+        k1: float = 1.5, b: float = 0.75,
+    ) -> "BM25Index":
+        idx = cls(k1, b)
+        idx.doc_lens = np.asarray(doc_lens, np.float32)
+        idx.num_docs = len(idx.doc_lens)
+        idx.avg_len = float(idx.doc_lens.mean()) if idx.num_docs else 0.0
+        flat_ids = np.asarray(flat_ids, np.int32)
+        flat_tfs = np.asarray(flat_tfs, np.float32)
+        for i, term in enumerate(terms):
+            idx.vocab[term] = i
+            s, e = posting_offsets[i], posting_offsets[i + 1]
+            idx.postings.append(_Postings(flat_ids[s:e], flat_tfs[s:e]))
+        return idx
 
-    def scores(self, query: str) -> np.ndarray:
-        """Dense [num_docs] score vector (only matched docs nonzero)."""
-        out = np.zeros(self.num_docs, np.float32)
-        if self.num_docs == 0:
-            return out
-        norm = self.doc_lens / self.avg_len if self.avg_len else self.doc_lens
+    def _derived(self) -> None:
+        if self._idf_arr is None:
+            dfs = np.fromiter(
+                (len(p.doc_ids) for p in self.postings), np.float32, len(self.postings)
+            )
+            self._idf_arr = np.log(
+                (self.num_docs - dfs + 0.5) / (dfs + 0.5) + 1.0
+            ).astype(np.float32)
+            self._norm = (
+                self.doc_lens / self.avg_len if self.avg_len else self.doc_lens
+            ).astype(np.float32)
+            self._scratch = np.zeros(self.num_docs, np.float32)
+
+    def _idf(self, term_id: int) -> float:
+        self._derived()
+        return float(self._idf_arr[term_id])
+
+    def _accumulate(self, query: str, out: np.ndarray) -> list[np.ndarray]:
+        """Add each query term's contribution into ``out``; returns the
+        touched posting id arrays (duplicate query terms contribute
+        twice, matching classic query-tf weighting)."""
+        touched: list[np.ndarray] = []
         for term in bm25_tokenize(query):
             tid = self.vocab.get(term)
             if tid is None:
                 continue
             p = self.postings[tid]
             tf = p.tfs
-            denom = tf + self.k1 * (1.0 - self.b + self.b * norm[p.doc_ids])
-            out[p.doc_ids] += self._idf(tid) * tf * (self.k1 + 1.0) / denom
+            denom = tf + self.k1 * (1.0 - self.b + self.b * self._norm[p.doc_ids])
+            out[p.doc_ids] += self._idf_arr[tid] * tf * (self.k1 + 1.0) / denom
+            touched.append(p.doc_ids)
+        return touched
+
+    def scores(self, query: str) -> np.ndarray:
+        """Dense [num_docs] score vector (only matched docs nonzero)."""
+        out = np.zeros(self.num_docs, np.float32)
+        if self.num_docs == 0:
+            return out
+        self._derived()
+        self._accumulate(query, out)
         return out
 
     def topk(self, query: str, k: int) -> tuple[np.ndarray, np.ndarray]:
-        s = self.scores(query)
-        k = min(k, self.num_docs)
-        idx = np.argpartition(-s, k - 1)[:k] if k else np.array([], np.int64)
-        order = np.argsort(-s[idx], kind="stable")
-        idx = idx[order]
-        return s[idx], idx
+        """Top scoring docs. Returns at most k MATCHED docs (fewer when
+        the query matches fewer — zero-score padding rows would only
+        pollute hybrid unions). Scoring touches only the query terms'
+        posting lists via a reused scratch accumulator: at 2M docs the
+        round-2 path paid a dense allocation + full argpartition per
+        query."""
+        if self.num_docs == 0 or k <= 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int64)
+        self._derived()
+        out = self._scratch
+        touched = self._accumulate(query, out)
+        if not touched:
+            return np.zeros(0, np.float32), np.zeros(0, np.int64)
+        cand = np.unique(np.concatenate(touched))
+        svals = out[cand]
+        kk = min(k, len(cand))
+        sel = np.argpartition(-svals, kk - 1)[:kk]
+        sel = sel[np.argsort(-svals[sel], kind="stable")]
+        res = svals[sel].copy(), cand[sel].astype(np.int64)
+        out[cand] = 0.0  # reset scratch for the next query
+        return res
 
     # -- persistence (npz + vocab) ----------------------------------------
 
@@ -120,14 +208,12 @@ class BM25Index:
             path = path.with_suffix(path.suffix + ".npz")
         z = np.load(path, allow_pickle=False)
         k1, b, avg_len, num_docs = z["meta"]
-        idx = cls(float(k1), float(b))
+        idx = cls._from_csr(
+            [str(t) for t in z["terms"]],
+            z["flat_ids"], z["flat_tfs"], z["offsets"], z["doc_lens"],
+            float(k1), float(b),
+        )
+        # trust the saved stats (float64) over the recomputed ones
         idx.avg_len = float(avg_len)
         idx.num_docs = int(num_docs)
-        idx.doc_lens = z["doc_lens"]
-        offsets = z["offsets"]
-        flat_ids, flat_tfs = z["flat_ids"], z["flat_tfs"]
-        for i, term in enumerate(z["terms"]):
-            idx.vocab[str(term)] = i
-            s, e = offsets[i], offsets[i + 1]
-            idx.postings.append(_Postings(flat_ids[s:e], flat_tfs[s:e]))
         return idx

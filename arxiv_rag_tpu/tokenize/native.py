@@ -28,11 +28,11 @@ _lib: ctypes.CDLL | None = None
 
 def build_native(force: bool = False) -> bool:
     """Compile the shared library if needed. Returns availability."""
-    src = _NATIVE_DIR / "wordpiece.cpp"
-    if not src.exists():
+    srcs = sorted(_NATIVE_DIR.glob("*.cpp"))
+    if not srcs:
         return False
     if _LIB_PATH.exists() and not force:
-        if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+        if _LIB_PATH.stat().st_mtime >= max(s.stat().st_mtime for s in srcs):
             return True
     try:
         subprocess.run(

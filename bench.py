@@ -119,6 +119,35 @@ def main() -> None:
 
     run_search = run_fused if on_tpu else run_xla
 
+    # AOT fast path (round-3, tools/aot_fused.py proof): the plain-bf16
+    # Q=32 compile historically never landed in the persistent cache
+    # through this tunnel (95-320s per process, CLAUDE.md QUIRK), but a
+    # serialized COMPILED executable deserializes in ~0.1s. Try the
+    # payload first; after a successful normal compile, write it.
+    import pickle
+    from pathlib import Path as _Path
+
+    aot_path = _Path(f"/tmp/arag_aot_fused_q{q_batch}_{index.shape[0]}x{dim}"
+                     f"_b{BLOCK_ROWS}.pkl")
+    nvalid_arr = jnp.asarray(np.full((1, 1), n_rows, np.int32))
+    qbf_dev = queries_dev.astype(jnp.bfloat16)
+    if on_tpu and aot_path.exists():
+        try:
+            from jax.experimental import serialize_executable as se
+
+            with open(aot_path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            aot_compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+
+            def run_fused_aot():
+                return aot_compiled(index, qbf_dev, nvalid_arr)
+
+            run_search = run_fused_aot
+            kernel_impl = "pallas_fused_aot"
+            log("fused kernel loaded from AOT payload (no compile)")
+        except Exception as exc:  # noqa: BLE001 — fall back to compiling
+            log(f"AOT load failed ({exc}); compiling normally")
+
     # compile watchdog: the shared pool's remote compile takes 10s-10min;
     # if the fused kernel doesn't come up within the window, fall back to
     # the XLA scan so the driver always gets its JSON line. The compile
@@ -158,6 +187,26 @@ def main() -> None:
         vals, ids = warm["out"]
     log(f"search kernel ready ({kernel_impl})")
 
+    if on_tpu and kernel_impl == "pallas_fused" and not aot_path.exists():
+        # persist the compiled executable for the next process (the jit
+        # cache makes this lower+compile cheap now that it's warm)
+        try:
+            from jax.experimental import serialize_executable as se
+
+            from arxiv_rag_tpu.ops.pallas_topk import _fused_topk_jit
+
+            comp = _fused_topk_jit.lower(
+                jax.ShapeDtypeStruct(index.shape, jnp.bfloat16),
+                jax.ShapeDtypeStruct((q_batch, dim), jnp.bfloat16),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                k=k, block_rows=BLOCK_ROWS, interpret=False,
+            ).compile()
+            with open(aot_path, "wb") as f:
+                pickle.dump(se.serialize(comp), f)
+            log(f"AOT payload saved -> {aot_path}")
+        except Exception as exc:  # noqa: BLE001
+            log(f"AOT save failed: {exc}")
+
     # timing: result FETCH per iteration. block_until_ready through the
     # remote-device tunnel returns before execution completes (measured:
     # a 3 GB reduction "finishing" at 40 TB/s); fetching the (tiny)
@@ -189,6 +238,7 @@ def main() -> None:
         )
     )
     sol_gbps = 0.0
+    sol_amort_gbps = 0.0
     for name, fn in (("reduce", lambda: red(index)), ("ones-matmul", lambda: mm(index, ones8))):
         _ = np.asarray(fn())
         ts = []
@@ -197,10 +247,34 @@ def main() -> None:
             _ = np.asarray(fn())
             ts.append(time.perf_counter() - t0)
         g = index.shape[0] * dim * (2 if on_tpu else 4) / sorted(ts)[1] / 1e9
-        log(f"pure-read reference ({name}): {g:.0f} GB/s")
+        # amortized: 6 dispatches, one fetch — removes the ~30 ms tunnel
+        # RTT that pollutes the per-call number (round-3 finding)
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(6)]
+        _ = np.asarray(outs[-1])
+        ga = 6 * index.shape[0] * dim * (2 if on_tpu else 4) / (time.perf_counter() - t0) / 1e9
+        log(f"pure-read reference ({name}): {g:.0f} GB/s fetched, {ga:.0f} GB/s amortized")
         sol_gbps = max(sol_gbps, g)
+        sol_amort_gbps = max(sol_amort_gbps, ga)
     frac_sol = min(1.0, gbps / max(sol_gbps, 1e-9))
-    log(f"kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of measured read bandwidth")
+    log(f"kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of measured read bandwidth (fetched basis)")
+
+    # Q=32 pipelined: dispatch 6 batches, one fetch each at the end. The
+    # single-call number above includes a full tunnel RTT (~30 ms) per
+    # batch — at Q=32 that RTT, not the device, is the dominant term
+    # (round-3 finding, tools/profile_int8.py), so the pipelined figure
+    # is the device's actual scan throughput.
+    q32_piped_qps = 0.0
+    frac_sol_dev = 0.0
+    if on_tpu and kernel_impl.startswith("pallas_fused"):
+        t0 = time.perf_counter()
+        outs = [run_search() for _ in range(6)]
+        _ = np.asarray(outs[-1][0])  # in-order stream: last bounds all
+        q32_piped_qps = 6 * q_batch / (time.perf_counter() - t0)
+        dev_gbps = n_rows * dim * 2 * q32_piped_qps / q_batch / 1e9
+        frac_sol_dev = min(1.0, dev_gbps / max(sol_amort_gbps, 1e-9))
+        log(f"search @Q=32 pipelined x6: {q32_piped_qps:.1f} qps "
+            f"({dev_gbps:.0f} GB/s = {100 * frac_sol_dev:.0f}% of amortized read BW)")
 
     # --- serving throughput at a large query batch: q-tiled fused kernel
     # vs XLA's fused matmul+reduce (round 1: XLA won ~2x here because the
@@ -208,6 +282,7 @@ def main() -> None:
     q512_qps = 0.0
     q512_fused_qps = 0.0
     q512_piped_qps = 0.0
+    q512 = None
     if on_tpu:
         q512 = make_normal(jax.random.PRNGKey(7), 512)
         f512 = jax.jit(lambda i, qq: flat_search(i, qq, k))
@@ -237,8 +312,7 @@ def main() -> None:
             # per-call fetch RTT otherwise dominates)
             t0 = time.perf_counter()
             outs = [fused_topk(index, q512b, k, n_valid=n_rows) for _ in range(6)]
-            for v, _i in outs:
-                _ = np.asarray(v)
+            _ = np.asarray(outs[-1][0])  # fetch last only (6 fetches = 6 RTTs)
             q512_piped_qps = 6 * 512 / (time.perf_counter() - t0)
             log(f"serving throughput @Q=512 (fused, pipelined x6): "
                 f"{q512_piped_qps:.0f} qps")
@@ -270,6 +344,9 @@ def main() -> None:
     # never ran the masked kernels compiled on hardware.
     masked_qps = 0.0
     masked_recall = 0.0
+    masked_q512_qps = 0.0
+    int8_q512_qps = 0.0
+    int8_q512_piped_qps = 0.0
     row_masks_dev = None
     qmask_dev = None
     if on_tpu and not past_deadline("masked variant"):
@@ -314,6 +391,21 @@ def main() -> None:
                 candidate_scores=np.asarray(mv, np.float32),
             )
             log(f"masked fused: {masked_qps:.1f} qps, recall@{k} = {masked_recall:.4f}")
+            # serving shape: masked @Q=512 (round-2 weak #2 — the bench
+            # never isolated the masked kernel at serving batch)
+            if q512 is not None and not past_deadline("masked @Q=512"):
+                q512b = q512.astype(jnp.bfloat16)
+                qmask512 = jnp.full((512,), want, jnp.int32)
+                _ = np.asarray(fused_topk_masked(
+                    index, row_masks_dev, qmask512, q512b, k, n_valid=n_rows)[0])
+                latm5 = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _ = np.asarray(fused_topk_masked(
+                        index, row_masks_dev, qmask512, q512b, k, n_valid=n_rows)[0])
+                    latm5.append(time.perf_counter() - t0)
+                masked_q512_qps = 512 / sorted(latm5)[len(latm5) // 2]
+                log(f"masked fused @Q=512: {masked_q512_qps:.0f} qps")
         except Exception as exc:  # noqa: BLE001
             log(f"masked fused failed: {exc}")
 
@@ -359,6 +451,30 @@ def main() -> None:
             candidate_scores=np.asarray(iv, np.float32),
         )
         log(f"int8 recall@{k} = {int8_recall:.4f}")
+
+        # serving shape: int8 @Q=512 — the service's hot configuration
+        # (int8 index, large coalesced windows) finally isolated in the
+        # bench (round-2 weak #2)
+        if q512 is not None and not past_deadline("int8 @Q=512"):
+            try:
+                _ = np.asarray(fused_topk_int8(
+                    i8_vals, i8_scales, q512, k, n_valid=n_rows)[0])
+                lat85 = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _ = np.asarray(fused_topk_int8(
+                        i8_vals, i8_scales, q512, k, n_valid=n_rows)[0])
+                    lat85.append(time.perf_counter() - t0)
+                int8_q512_qps = 512 / sorted(lat85)[len(lat85) // 2]
+                log(f"int8 fused @Q=512: {int8_q512_qps:.0f} qps")
+                t0 = time.perf_counter()
+                outs = [fused_topk_int8(i8_vals, i8_scales, q512, k,
+                                        n_valid=n_rows) for _ in range(6)]
+                _ = np.asarray(outs[-1][0])
+                int8_q512_piped_qps = 6 * 512 / (time.perf_counter() - t0)
+                log(f"int8 fused @Q=512 pipelined x6: {int8_q512_piped_qps:.0f} qps")
+            except Exception as exc:  # noqa: BLE001
+                log(f"int8 @Q=512 failed: {exc}")
 
         # --- int8 + masked: the full production layout in one kernel ------
         if row_masks_dev is not None and not past_deadline("int8+masked variant"):
@@ -414,6 +530,7 @@ def main() -> None:
 
     # --- encoder throughput ---------------------------------------------------
     chunks_per_s = 0.0
+    encoder_mfu = 0.0
     if os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1" and not past_deadline("encoder"):
         cfg = ModelConfig()
         params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -433,6 +550,16 @@ def main() -> None:
             _ = np.asarray(out)  # honest sync (see note above)
         chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
         log(f"encoder: {chunks_per_s:.1f} chunks/s")
+        # MFU: model FLOPs over the chip's bf16 peak — tracked so future
+        # libtpu/XLA flips show up against the measured "XLA-lowering-
+        # limited" ceiling (round-2 weak #7). Per token per layer:
+        # 8h^2 (QKV+out) + 4*seq*h (scores+apply) + 4*h*ff (FFN) FLOPs.
+        L, h, ff = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+        flops_per_token = L * (8 * h * h + 4 * seq * h + 4 * h * ff)
+        peak = float(os.environ.get("ARAG_TPU_PEAK_TFLOPS", 197.0)) * 1e12
+        encoder_mfu = chunks_per_s * seq * flops_per_token / peak
+        log(f"encoder MFU: {100 * encoder_mfu:.1f}% of {peak / 1e12:.0f} TF/s peak "
+            f"({chunks_per_s * seq * flops_per_token / 1e12:.1f} TF/s)")
 
     # --- W8A8 encoder via the Pallas s8s8 MXU kernel (ops/pallas_matmul.py):
     # v5e runs int8 matmuls at 2x the bf16 MAC rate, and the encoder is
@@ -529,10 +656,17 @@ def main() -> None:
                 "cpu_encoder_chunks_per_sec": round(cpu_chunks_per_s, 2),
                 "encoder_vs_cpu": round(chunks_per_s / cpu_chunks_per_s, 1)
                 if cpu_chunks_per_s else 0.0,
+                "qps_at_q32_pipelined": round(q32_piped_qps, 1),
                 "qps_at_q512_xla": round(q512_qps, 1),
                 "qps_at_q512_fused": round(q512_fused_qps, 1),
                 "qps_at_q512_fused_pipelined": round(q512_piped_qps, 1),
+                "qps_at_q512_int8": round(int8_q512_qps, 1),
+                "qps_at_q512_int8_pipelined": round(int8_q512_piped_qps, 1),
+                "qps_at_q512_masked": round(masked_q512_qps, 1),
+                "encoder_mfu": round(float(encoder_mfu), 4),
                 "fraction_of_read_bw": round(float(frac_sol), 3),
+                "fraction_of_read_bw_device": round(float(frac_sol_dev), 3),
+                "read_bw_amortized_gbps": round(float(sol_amort_gbps), 1),
                 "kernel": kernel_impl,
                 "backend": jax.default_backend(),
             }

@@ -1,23 +1,21 @@
-"""Profile the int8 fused top-k kernel variants on the real TPU.
+"""Profile the fused top-k kernel variants on the real TPU — AMORTIZED.
 
-Round-3 investigation (VERDICT weak #1): the int8 scan runs at ~54% of
-its halved-HBM-stream ceiling (1020 qps @Q=32 on 2M rows vs ~1750+
-implied by the bf16 kernel's 92%-of-read-BW). Candidate limiters and
-the variant that isolates each:
+Round-3 finding that reshaped this tool: every fetched call through the
+remote-device tunnel pays a ~30 ms RTT, so single-call timings at Q=32
+(36 ms/call) are RTT-dominated — the round-2 "int8 at 54% of its
+bandwidth ceiling" arithmetic compared RTT-inflated numbers. Honest
+device-time measurement = dispatch K independent calls, fetch once
+(TPU streams execute in order, so fetching the last result bounds all).
 
-- per-block fixed overhead amortized over half the bytes ->
-  ``row8192`` (double the rows per block; same bytes/block as bf16@4096)
-- the s8->bf16 widening feeding the MXU (possibly a slow Mosaic
-  relayout: int8 tiles are (32,128), bf16 (16,128)) ->
-  ``s8s8`` (native s8xs8->s32 MXU path, no widening)
-- the [QB,BN] f32 dequant multiply -> ``nodq`` (probe, recall-broken)
+Variants:
+- bf16 row4096 (reference)            - int8 row4096 (shipped)
+- int8 s8s8 (native s8xs8->s32 MXU)   - int8 nodequant (probe)
+- read probes: ones-matmul over the same arrays (bf16 / int8-widen /
+  int8-s32) — the per-dtype speed-of-light for a streaming scan
 
-All variants are timed INTERLEAVED in one process (per CLAUDE.md:
-standalone timings through the tunnel are not trustworthy). Output: one
-JSON line with per-variant median ms and qps.
-
-Usage: python tools/profile_int8.py   (real TPU; ~10-20 min cold compiles)
-Env: ROWS (default 2_000_000), ITERS (default 8).
+Usage: PYTHONPATH=. python tools/profile_int8.py
+Env: ROWS (default 2_000_000), CHAIN (calls per timed group, default 8),
+GROUPS (default 4).
 """
 
 from __future__ import annotations
@@ -45,91 +43,129 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8
+    from arxiv_rag_tpu.ops.pallas_topk import fused_topk, fused_topk_int8
     from arxiv_rag_tpu.ops.quant import quantize_int8
 
     n_rows = int(os.environ.get("ROWS", 2_000_000))
-    iters = int(os.environ.get("ITERS", 8))
-    dim, q_batch, k = 768, 32, 10
-    log(f"backend={jax.default_backend()} rows={n_rows}")
+    chain = int(os.environ.get("CHAIN", 8))
+    groups = int(os.environ.get("GROUPS", 4))
+    dim, k = 768, 10
+    q_batch = int(os.environ.get("Q", 32))
+    log(f"backend={jax.default_backend()} rows={n_rows} chain={chain} Q={q_batch}")
 
-    @partial(jax.jit, static_argnums=1)
-    def make_normal(key, rows):
-        x = jax.random.normal(key, (rows, dim), jnp.float32)
+    @partial(jax.jit, static_argnums=(1, 2))
+    def make_slice(key, rows, seed_row):
+        x = jax.random.normal(jax.random.fold_in(key, seed_row), (rows, dim), jnp.float32)
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
-    kq, ki = jax.random.split(jax.random.PRNGKey(0))
-    queries = make_normal(kq, q_batch)
-    index_f32 = make_normal(ki, n_rows)
-    index_f32.block_until_ready()
-    log("fp32 index on device")
-
-    slices_v, slices_s = [], []
-    step = max(1, n_rows // 8)
+    # build bf16 + int8 copies WITHOUT ever holding the full f32 (OOM on
+    # the shared chip): generate/convert per 250k-row slice
+    key = jax.random.PRNGKey(0)
+    queries = make_slice(key, q_batch, 999)
+    step = 250_000
+    bf_parts, i8_parts, sc_parts = [], [], []
     for s in range(0, n_rows, step):
-        v, sc = quantize_int8(index_f32[s : s + step])
-        slices_v.append(v)
-        slices_s.append(sc)
-    i8 = jnp.concatenate(slices_v, axis=0)
-    scales = jnp.concatenate(slices_s, axis=0)
-    del slices_v, slices_s
-    index_f32.delete()
-    # pre-pad to the largest block multiple so no variant pays a per-call
-    # pad copy (8192 is a multiple of 4096)
-    pad = (-n_rows) % 8192
+        m = min(step, n_rows - s)
+        x = make_slice(key, m, s)
+        bf_parts.append(x.astype(jnp.bfloat16))
+        v, sc = quantize_int8(x)
+        i8_parts.append(v)
+        sc_parts.append(sc)
+        del x
+    xb = jnp.concatenate(bf_parts, axis=0)
+    del bf_parts
+    i8 = jnp.concatenate(i8_parts, axis=0)
+    scales = jnp.concatenate(sc_parts, axis=0)
+    del i8_parts, sc_parts
+    pad = (-n_rows) % 4096
     if pad:
+        xb = jnp.pad(xb, ((0, pad), (0, 0)))
         i8 = jnp.pad(i8, ((0, pad), (0, 0)))
         scales = jnp.pad(scales, (0, pad))
-    i8.block_until_ready()
-    log(f"int8 index ready (+{pad} pad rows)")
+    xb.block_until_ready()
+    log(f"bf16 (3.1 GB) + int8 (1.5 GB) indexes ready (+{pad} pad)")
+
+    qbf = queries.astype(jnp.bfloat16)
+    ones8_bf = jnp.ones((dim, 8), jnp.bfloat16)
+    ones8_i8 = jnp.ones((dim, 8), jnp.int8)
+    mm = jax.jit(
+        lambda x, o: jnp.sum(
+            jax.lax.dot_general(
+                x, o, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        )
+    )
+    mm_widen = jax.jit(
+        lambda x, o: jnp.sum(
+            jax.lax.dot_general(
+                x.astype(jnp.bfloat16), o,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        )
+    )
+    mm_s32 = jax.jit(
+        lambda x, o: jnp.sum(
+            jax.lax.dot_general(
+                x, o, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+        )
+    )
 
     variants = {
-        "row4096": dict(_variant="row", block_rows=4096),
-        "row8192": dict(_variant="row", block_rows=8192),
-        "nodq4096": dict(_variant="nodequant", block_rows=4096),
-        "s8s8_4096": dict(_variant="s8s8", block_rows=4096),
-        "s8s8_8192": dict(_variant="s8s8", block_rows=8192),
+        "bf16_row4096": lambda: fused_topk(xb, qbf, k, n_valid=n_rows, block_rows=4096)[0],
+        "int8_row4096": lambda: fused_topk_int8(i8, scales, queries, k, n_valid=n_rows, block_rows=4096)[0],
+        "int8_s8s8": lambda: fused_topk_int8(i8, scales, queries, k, n_valid=n_rows, block_rows=4096, _variant="s8s8")[0],
+        "int8_nodq": lambda: fused_topk_int8(i8, scales, queries, k, n_valid=n_rows, block_rows=4096, _variant="nodequant")[0],
+        "read_bf16": lambda: mm(xb, ones8_bf),
+        "read_int8_widen": lambda: mm_widen(i8, ones8_bf),
+        "read_int8_s32": lambda: mm_s32(i8, ones8_i8),
     }
 
-    def run(kw):
-        return fused_topk_int8(i8, scales, queries, k, n_valid=n_rows, **kw)
-
-    # compile all variants concurrently (remote compiles release the GIL)
     ready: dict[str, bool] = {}
 
-    def warm(name, kw):
+    def warm(name, fn):
         try:
             t0 = time.perf_counter()
-            v, _ = run(kw)
-            _ = np.asarray(v)
+            _ = np.asarray(fn())
             ready[name] = True
-            log(f"{name}: compiled+warm in {time.perf_counter() - t0:.0f}s")
+            log(f"{name}: warm in {time.perf_counter() - t0:.0f}s")
         except Exception as exc:  # noqa: BLE001
-            log(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:300]}")
+            log(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:200]}")
             ready[name] = False
 
-    threads = [threading.Thread(target=warm, args=(n, kw), daemon=True) for n, kw in variants.items()]
+    threads = [threading.Thread(target=warm, args=(nm, fn), daemon=True)
+               for nm, fn in variants.items()]
     for t in threads:
         t.start()
     for t in threads:
-        t.join(1200)
-    live = [n for n, ok in ready.items() if ok]
-    log(f"live variants: {live}")
+        t.join(900)
+    live = [nm for nm, ok in ready.items() if ok]
+    log(f"live: {live}")
 
-    lat: dict[str, list[float]] = {n: [] for n in live}
-    for rep in range(iters):
-        for n in live:
+    # amortized timing: CHAIN dispatches, ONE fetch of the last result
+    # (in-order stream => last bounds all); RTT amortizes to 1/CHAIN
+    lat: dict[str, list[float]] = {nm: [] for nm in live}
+    for g in range(groups):
+        for nm in live:
+            fn = variants[nm]
             t0 = time.perf_counter()
-            v, _ = run(variants[n])
-            _ = np.asarray(v)
-            lat[n].append(time.perf_counter() - t0)
-        log(f"rep {rep + 1}/{iters} done")
+            out = None
+            for _ in range(chain):
+                out = fn()
+            _ = np.asarray(out)
+            lat[nm].append((time.perf_counter() - t0) / chain)
+        log(f"group {g + 1}/{groups}")
 
     out = {}
-    for n in live:
-        med = sorted(lat[n])[len(lat[n]) // 2]
-        out[n] = {"ms": round(med * 1e3, 2), "qps": round(q_batch / med, 1)}
-        log(f"{n}: {med * 1e3:.2f} ms -> {q_batch / med:.1f} qps")
+    for nm in live:
+        med = sorted(lat[nm])[len(lat[nm]) // 2]
+        qps = q_batch / med if nm.startswith(("bf16", "int8")) else None
+        bytes_ = n_rows * dim * (1 if "int8" in nm else 2)
+        rec = {"ms": round(med * 1e3, 2), "GBps": round(bytes_ / med / 1e9, 1)}
+        if qps:
+            rec["qps"] = round(qps, 1)
+        out[nm] = rec
+        log(f"{nm}: {rec}")
     print(json.dumps(out))
 
 

@@ -7,7 +7,10 @@ this device streams ELEMENTS at a fixed rate rather than bytes (the
 measured bf16 "read BW" of 84-85 GB/s is ~1/10 of v5e spec, consistent
 with a virtualized/shared pool). This probe times the same ones-matmul
 read reference bench.py uses, over the SAME 2M x 768 data stored as
-f32 / bf16 / int8, interleaved in one process.
+f32 / bf16 / int8.
+
+Phasing: the f32 copy (6.1 GB) is measured first and freed before the
+bf16+int8 phase — all three resident at once OOMs the shared chip.
 
 If time scales with bytes -> bandwidth-bound, the int8 kernel leaves
 ~2x on the table. If time is ~constant -> element-rate-bound, and the
@@ -38,23 +41,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     n, d = 2_000_000, 768
+    reps = 6
     log(f"backend={jax.default_backend()}")
 
     @partial(jax.jit, static_argnums=0)
     def make(rows):
         x = jax.random.normal(jax.random.PRNGKey(1), (rows, d), jnp.float32)
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
-
-    x32 = make(n)
-    x32.block_until_ready()
-    xb = (x32.astype(jnp.bfloat16)).block_until_ready()
-    x8 = jnp.clip(jnp.round(x32 * 127.0 / 0.2), -127, 127).astype(jnp.int8)
-    x8.block_until_ready()
-    log("arrays ready (f32 6.1GB, bf16 3.1GB, int8 1.5GB)")
-
-    ones8_f32 = jnp.ones((d, 8), jnp.float32)
-    ones8_bf = jnp.ones((d, 8), jnp.bfloat16)
-    ones8_i8 = jnp.ones((d, 8), jnp.int8)
 
     mm = jax.jit(
         lambda x, o: jnp.sum(
@@ -63,8 +56,6 @@ def main() -> None:
             )
         )
     )
-    # int8 read probes: (a) widen to bf16 then matmul (what the fused
-    # kernel's "row" mode asks of Mosaic), (b) native s8xs8->s32
     mm_widen = jax.jit(
         lambda x, o: jnp.sum(
             jax.lax.dot_general(
@@ -82,37 +73,55 @@ def main() -> None:
     )
     red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
-    cases = {
+    def timed(cases: dict) -> dict:
+        for name, (fn, _) in cases.items():
+            _ = np.asarray(fn())
+            log(f"{name} warm")
+        lat: dict[str, list[float]] = {k: [] for k in cases}
+        for r in range(reps):
+            for name, (fn, _) in cases.items():
+                t0 = time.perf_counter()
+                _ = np.asarray(fn())
+                lat[name].append(time.perf_counter() - t0)
+            log(f"rep {r + 1}/{reps}")
+        out = {}
+        for name, (_, itemsize) in cases.items():
+            med = sorted(lat[name])[len(lat[name]) // 2]
+            out[name] = {
+                "ms": round(med * 1e3, 2),
+                "GBps": round(n * d * itemsize / med / 1e9, 1),
+                "Gelem_per_s": round(n * d / med / 1e9, 2),
+            }
+            log(f"{name}: {out[name]}")
+        return out
+
+    ones8_f32 = jnp.ones((d, 8), jnp.float32)
+    ones8_bf = jnp.ones((d, 8), jnp.bfloat16)
+    ones8_i8 = jnp.ones((d, 8), jnp.int8)
+
+    # phase 1: f32 alone (6.1 GB; can't coexist with the rest on a
+    # shared chip)
+    x32 = make(n)
+    x32.block_until_ready()
+    log("f32 array ready (6.1 GB)")
+    results = timed({
         "mm_f32": (lambda: mm(x32, ones8_f32), 4),
+        "red_f32": (lambda: red(x32), 4),
+    })
+    xb = x32.astype(jnp.bfloat16)
+    xb.block_until_ready()
+    x8 = jnp.clip(jnp.round(x32 * 127.0 / 0.2), -127, 127).astype(jnp.int8)
+    x8.block_until_ready()
+    x32.delete()
+    log("bf16 (3.1 GB) + int8 (1.5 GB) ready; f32 freed")
+    results.update(timed({
         "mm_bf16": (lambda: mm(xb, ones8_bf), 2),
         "mm_int8_widen": (lambda: mm_widen(x8, ones8_bf), 1),
         "mm_int8_s32": (lambda: mm_s32(x8, ones8_i8), 1),
-        "red_f32": (lambda: red(x32), 4),
         "red_bf16": (lambda: red(xb), 2),
         "red_int8": (lambda: red(x8), 1),
-    }
-    for name, (fn, _) in cases.items():
-        _ = np.asarray(fn())
-        log(f"{name} warm")
-
-    reps = 6
-    lat: dict[str, list[float]] = {k: [] for k in cases}
-    for r in range(reps):
-        for name, (fn, _) in cases.items():
-            t0 = time.perf_counter()
-            _ = np.asarray(fn())
-            lat[name].append(time.perf_counter() - t0)
-        log(f"rep {r + 1}/{reps}")
-
-    out = {}
-    for name, (_, itemsize) in cases.items():
-        med = sorted(lat[name])[len(lat[name]) // 2]
-        gbps = n * d * itemsize / med / 1e9
-        eps = n * d / med / 1e9
-        out[name] = {"ms": round(med * 1e3, 2), "GBps": round(gbps, 1),
-                     "Gelem_per_s": round(eps, 2)}
-        log(f"{name}: {med * 1e3:.1f} ms = {gbps:.0f} GB/s = {eps:.2f} Gelem/s")
-    print(json.dumps(out))
+    }))
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,17 @@ def main() -> None:
     ap.add_argument("--batch-window-ms", type=float, default=8.0)
     ap.add_argument("--dtype", choices=("bfloat16", "int8"), default="bfloat16",
                     help="index storage dtype (int8 = half the HBM bytes)")
+    ap.add_argument("--hybrid-alpha", type=float, default=None,
+                    help="enable hybrid retrieval (BM25 over a synthetic "
+                         "corpus, built natively, merged at this alpha)")
+    ap.add_argument("--rerank", action="store_true",
+                    help="enable cross-encoder rerank of the top "
+                         "rerank-top-k (ms-marco-MiniLM compute shape, "
+                         "random init)")
+    ap.add_argument("--rerank-top-k", type=int, default=50)
+    ap.add_argument("--corpus-dir", default=None,
+                    help="cache dir for the synthetic corpus parquet "
+                         "(default /tmp/arag_serve_corpus_<rows>)")
     args = ap.parse_args()
 
     import jax
@@ -110,8 +121,75 @@ def main() -> None:
     idx.to_device()
     log("index resident on device")
 
+    # ---- optional flagship retrieval config: hybrid + rerank ----------
+    # (the reference's configured-but-never-built mode,
+    # config.yaml:62-69: hybrid semantic_weight 0.7, rerank top-50)
+    corpus = bm25 = reranker = None
+    if args.hybrid_alpha is not None or args.rerank:
+        from pathlib import Path as _P
+
+        import numpy as _np
+
+        from arxiv_rag_tpu.store import ChunkRecord, CorpusReader, CorpusWriter
+
+        cdir = _P(args.corpus_dir or f"/tmp/arag_serve_corpus_{n_rows}")
+        vocab_words = _np.array([f"w{i}" for i in range(50_000)])
+        if not (cdir / "corpus.json").exists():
+            log(f"writing synthetic corpus parquet to {cdir} (once)")
+            rng = _np.random.default_rng(0)
+            with CorpusWriter(cdir) as w:
+                for s in range(0, n_rows, 50_000):
+                    m = min(50_000, n_rows - s)
+                    lens = rng.integers(20, 40, m)
+                    total = int(lens.sum())
+                    u = rng.random(total)
+                    ids = _np.minimum(
+                        (_np.exp(u * _np.log(len(vocab_words))) - 1).astype(_np.int64),
+                        len(vocab_words) - 1,
+                    )
+                    words = vocab_words[ids]
+                    pos = 0
+                    for j, ln in enumerate(lens.tolist()):
+                        w.add(ChunkRecord(
+                            paper_id=f"p{(s + j) // 20}", chunk_index=(s + j) % 20,
+                            text=" ".join(words[pos : pos + ln].tolist()),
+                            category="cs.LG", section="body", page=1,
+                        ))
+                        pos += ln
+        corpus = CorpusReader(cdir)
+        assert corpus.num_rows == n_rows, (corpus.num_rows, n_rows)
+        if args.hybrid_alpha is not None:
+            from arxiv_rag_tpu.search.bm25 import BM25Index
+
+            t0 = time.perf_counter()
+            bm25 = BM25Index.build(corpus.texts(), native=True)
+            log(f"bm25 built natively over {n_rows} docs in "
+                f"{time.perf_counter() - t0:.0f}s")
+        if args.rerank:
+            from arxiv_rag_tpu.models.bert import BertConfig, init_params as bert_init
+            from arxiv_rag_tpu.search.rerank import CrossEncoderReranker
+
+            # ms-marco-MiniLM-L-6-v2 compute shape (the reference's
+            # configured reranker): 6 layers, hidden 384, ff 1536
+            bcfg = BertConfig(
+                vocab_size=len(tok.vocab), hidden_size=384,
+                num_hidden_layers=6, num_attention_heads=12,
+                intermediate_size=1536, max_position_embeddings=512,
+                pad_token_id=tok.pad_id, num_labels=1,
+            )
+            reranker = CrossEncoderReranker(
+                bert_init(jax.random.PRNGKey(5), bcfg, dtype=jnp.bfloat16),
+                bcfg, tok, batch_size=256,
+                compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            )
+
     rcfg = load_config(environ={}).retrieval
-    engine = SearchEngine(idx, embedder=embedder, cfg=rcfg)
+    if args.rerank:
+        import dataclasses
+
+        rcfg = dataclasses.replace(rcfg, rerank_top_k=args.rerank_top_k)
+    engine = SearchEngine(idx, embedder=embedder, cfg=rcfg, corpus=corpus,
+                          bm25=bm25, reranker=reranker)
     # warm every compiled shape the windows can hit before timing: the
     # engine buckets Q to 8/32/64/128/256/384/512, and a remote kernel
     # compile mid-benchmark stalls whole windows for minutes (measured:
@@ -139,15 +217,16 @@ def main() -> None:
 
     def client(ci: int) -> None:
         for qi in range(args.queries_per_client):
-            body = json.dumps(
-                {
-                    "queries": [
-                        f"query {ci} {qi} {j} dense retrieval on tpu"
-                        for j in range(args.qbatch)
-                    ],
-                    "k": 10,
-                }
-            ).encode()
+            payload = {
+                "queries": [
+                    f"query {ci} {qi} {j} dense retrieval on tpu"
+                    for j in range(args.qbatch)
+                ],
+                "k": 10,
+            }
+            if args.hybrid_alpha is not None:
+                payload["hybrid_alpha"] = args.hybrid_alpha
+            body = json.dumps(payload).encode()
             t0 = time.perf_counter()
             for attempt in (1, 2):  # one retry on transient connect errors
                 req = urllib.request.Request(
@@ -188,8 +267,13 @@ def main() -> None:
         log(f"{len(errs)} client errors; first: {errs[0]}")
     lat.sort()
     done = len(lat)
+    mode = args.dtype
+    if args.hybrid_alpha is not None:
+        mode += f"_hybrid{args.hybrid_alpha}"
+    if args.rerank:
+        mode += f"_rerank{args.rerank_top_k}"
     result = {
-        "metric": f"service_qps_http_{n_rows}x{dim}_{args.dtype}",
+        "metric": f"service_qps_http_{n_rows}x{dim}_{mode}",
         "value": round(done * args.qbatch / wall, 1),
         "unit": "qps",
         "clients": args.clients,
