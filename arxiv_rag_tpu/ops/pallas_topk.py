@@ -76,6 +76,7 @@ def _topk_kernel(
     use_mask: bool,
     use_int8: bool,
     int8_mode: str = "row",
+    merge_impl: str = "extract",
 ):
     if use_int8:
         scales_ref = rest[0]  # [1, BN] f32 row scales
@@ -188,19 +189,7 @@ def _topk_kernel(
         # the [QB,BN] VPU passes they avoided. Keep the tile-level merge.
         lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
 
-        def cond(state):
-            mv, sv, si, m = state
-            return jnp.any(m > sv[:, k - 1 : k])
-
-        def body(state):
-            mv, sv, si, m = state
-            at_max = mv == m
-            sel_col = jnp.min(
-                jnp.where(at_max, cols, _HUGE_COL), axis=1, keepdims=True
-            )
-            hit = cols == sel_col  # [1,BN]==[QB,1] → [QB,BN]
-            g = jnp.sum(jnp.where(hit, gidx, 0), axis=1, keepdims=True)
-            improve = m > sv[:, k - 1 : k]  # [QB,1] per-query gate
+        def insert(sv, si, m, g, improve):
             # insertion rank: after existing >= entries (earlier blocks /
             # earlier extractions have smaller global ids, so ties keep
             # lax.top_k's lowest-index-first order)
@@ -209,15 +198,120 @@ def _topk_kernel(
             shifted_i = jnp.concatenate([si[:, :1], si[:, :-1]], axis=1)
             nv = jnp.where(lane < pos, sv, jnp.where(lane == pos, m, shifted_v))
             ni = jnp.where(lane < pos, si, jnp.where(lane == pos, g, shifted_i))
-            sv = jnp.where(improve, nv, sv)
-            si = jnp.where(improve, ni, si)
-            mv = jnp.where(hit & improve, NEG_INF, mv)
-            return mv, sv, si, jnp.max(mv, axis=1, keepdims=True)
+            return (
+                jnp.where(improve, nv, sv),
+                jnp.where(improve, ni, si),
+            )
 
-        _, sv, si, _ = jax.lax.while_loop(
-            cond, body,
-            (scores, svals_ref[srows, :], sidx_ref[srows, :], block_max),
-        )
+        if merge_impl == "staged":
+            # STAGED extraction — MEASURED NEUTRAL (round 3, amortized
+            # A/B on 2M rows): int8@Q=512 18.36 ms BOTH impls, bf16
+            # 32.6 extract vs 34.0 staged. The hypothesis (merge's ~5
+            # full [QB,BN] passes per extraction dominate Q=512) was
+            # WRONG — Mosaic evidently keeps the extract loop cheap, so
+            # the Q=512 gap over the read floor is matmul + scoring
+            # passes + grid overhead, not the merge. Kept selectable +
+            # tested (tie-exact vs extract) as the experiment record;
+            # do not flip the default without new evidence.
+            # Design: stage per-128-lane-group maxes once ([QB, G], one
+            # full pass), run the extraction loop on that small array,
+            # and gather only the winning group's lanes per iteration
+            # (one full pass). Tie-break parity: groups cover ascending
+            # column ranges, so min-group-then-min-lane == min-column.
+            n_groups = block_rows // LANES
+            qn_ = scores.shape[0]
+            gcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
+            llane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            segs = [
+                scores[:, g * LANES : (g + 1) * LANES] for g in range(n_groups)
+            ]
+            gmax = jnp.concatenate(
+                [jnp.max(s, axis=1, keepdims=True) for s in segs], axis=1
+            )  # [QB, G]
+
+            def cond(state):
+                gmax, cur_g, cur_gathered, sv, si, m = state
+                return jnp.any(m > sv[:, k - 1 : k])
+
+            def body(state):
+                gmax, cur_g, cur_gathered, sv, si, m = state
+                at_g = gmax == m
+                sel_g = jnp.min(
+                    jnp.where(at_g, gcols, _HUGE_COL), axis=1, keepdims=True
+                )  # [QB,1]
+                # gather the selected group's lanes: G row-wise selects
+                # of [QB, 128] = one full [QB, BN]-equivalent pass
+                fresh = jnp.full((qn_, LANES), NEG_INF, jnp.float32)
+                for g in range(n_groups):
+                    fresh = jnp.where(sel_g == g, segs[g], fresh)
+                # duplicate-safe reuse: a re-gathered ORIGINAL segment
+                # still holds previously extracted lanes, so an in-group
+                # duplicate of the current max would be re-extracted
+                # forever. The only way a group can be re-selected while
+                # an extracted value still EQUALS its remaining max is
+                # consecutively (leaving a group requires its remaining
+                # max to drop strictly below the extracted value) — so
+                # carrying the masked copy per query and reusing it when
+                # sel_g == cur_g covers every duplicate case.
+                gathered = jnp.where(sel_g == cur_g, cur_gathered, fresh)
+                # a FRESH re-gather of a previously visited group still
+                # holds stale extracted lanes; those are strictly > m
+                # (we only leave a group when its remaining max drops
+                # strictly below every value extracted from it), so
+                # clamping >m to -inf removes exactly the stale lanes —
+                # ==m lanes are genuine duplicates (the consecutive-
+                # reuse case above keeps those correct)
+                gathered = jnp.where(gathered > m, NEG_INF, gathered)
+                hit_l = gathered == m
+                sel_l = jnp.min(
+                    jnp.where(hit_l, llane, _HUGE_COL), axis=1, keepdims=True
+                )
+                col = sel_g * LANES + sel_l
+                gid = col + i * block_rows
+                improve = m > sv[:, k - 1 : k]
+                sv, si = insert(sv, si, m, gid, improve)
+                # mask the extracted lane, refresh that group's max
+                masked = jnp.where(llane == sel_l, NEG_INF, gathered)
+                new_gmax = jnp.max(masked, axis=1, keepdims=True)
+                gmax = jnp.where((gcols == sel_g) & improve, new_gmax, gmax)
+                cur_gathered = jnp.where(improve, masked, gathered)
+                return (gmax, sel_g, cur_gathered, sv, si,
+                        jnp.max(gmax, axis=1, keepdims=True))
+
+            qn_ = scores.shape[0]
+            _, _, _, sv, si, _ = jax.lax.while_loop(
+                cond, body,
+                (
+                    gmax,
+                    jnp.full((qn_, 1), -1, jnp.int32),
+                    jnp.full((qn_, LANES), NEG_INF, jnp.float32),
+                    svals_ref[srows, :],
+                    sidx_ref[srows, :],
+                    block_max,
+                ),
+            )
+        else:
+            def cond(state):
+                mv, sv, si, m = state
+                return jnp.any(m > sv[:, k - 1 : k])
+
+            def body(state):
+                mv, sv, si, m = state
+                at_max = mv == m
+                sel_col = jnp.min(
+                    jnp.where(at_max, cols, _HUGE_COL), axis=1, keepdims=True
+                )
+                hit = cols == sel_col  # [1,BN]==[QB,1] → [QB,BN]
+                g = jnp.sum(jnp.where(hit, gidx, 0), axis=1, keepdims=True)
+                improve = m > sv[:, k - 1 : k]  # [QB,1] per-query gate
+                sv, si = insert(sv, si, m, g, improve)
+                mv = jnp.where(hit & improve, NEG_INF, mv)
+                return mv, sv, si, jnp.max(mv, axis=1, keepdims=True)
+
+            _, sv, si, _ = jax.lax.while_loop(
+                cond, body,
+                (scores, svals_ref[srows, :], sidx_ref[srows, :], block_max),
+            )
         svals_ref[srows, :] = sv
         sidx_ref[srows, :] = si
 
@@ -239,6 +333,7 @@ def _build_call(
     interpret: bool,
     q_block: int | None = None,
     int8_mode: str = "row",
+    merge_impl: str = "extract",
 ):
     if k > LANES:
         raise ValueError(
@@ -261,6 +356,7 @@ def _build_call(
         use_mask=use_mask,
         use_int8=use_int8,
         int8_mode=int8_mode,
+        merge_impl=merge_impl,
     )
     # inner (fast) grid axis = query tiles: the x block index is constant
     # across it, so Pallas keeps the block resident and the index streams
@@ -411,16 +507,18 @@ def _trim(vals, ids, qn):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_rows", "interpret"),
+    static_argnames=("k", "block_rows", "interpret", "merge"),
 )
-def _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret):
+def _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret,
+                    merge="extract"):
     # query pad to sublane alignment happens INSIDE the jit: traced,
     # fused, and — unlike an eager jnp.pad in the wrapper — not a
     # separate device dispatch per call
     queries = _pad_rows(queries, 8)
     qn, d = queries.shape
     call = _build_call(
-        index.shape[0], d, qn, k, block_rows, index.dtype, False, False, interpret
+        index.shape[0], d, qn, k, block_rows, index.dtype, False, False,
+        interpret, merge_impl=merge,
     )
     return call(nvalid, queries.astype(index.dtype), index)
 
@@ -433,9 +531,12 @@ def fused_topk(
     n_valid: int | None = None,
     block_rows: int | None = None,
     interpret: bool | None = None,
+    _merge: str = "extract",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flat-scan top-k. ``index`` [N, D] (f32/bf16), rows
-    L2-normalized; ``queries`` [Q, D]. Returns (values [Q,k], ids [Q,k])."""
+    L2-normalized; ``queries`` [Q, D]. Returns (values [Q,k], ids [Q,k]).
+    ``_merge`` picks the in-kernel merge implementation ("extract" |
+    "staged", see _topk_kernel)."""
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]
@@ -446,7 +547,8 @@ def fused_topk(
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
     nvalid = np.full((1, 1), n, np.int32)
-    vals, ids = _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret)
+    vals, ids = _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret,
+                                merge=_merge)
     return _trim(vals, ids, qn)
 
 
@@ -501,10 +603,10 @@ def fused_topk_masked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_rows", "interpret", "variant"),
+    static_argnames=("k", "block_rows", "interpret", "variant", "merge"),
 )
 def _fused_topk_int8_jit(values, scales, queries, nvalid, k, block_rows, interpret,
-                         variant="row"):
+                         variant="row", merge="extract"):
     # int8 queries need 32-row sublane alignment; bf16 needs 16 — pad to
     # 32 in the s8s8 variant, 8 (f32 pad, cast later) otherwise
     if variant == "s8s8":
@@ -514,14 +616,14 @@ def _fused_topk_int8_jit(values, scales, queries, nvalid, k, block_rows, interpr
         q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
         call = _build_call(
             values.shape[0], d, qn, k, block_rows, jnp.int8, False, True,
-            interpret, int8_mode="s8s8",
+            interpret, int8_mode="s8s8", merge_impl=merge,
         )
         return call(nvalid, q8, values, scales.reshape(1, -1), qs)
     queries = _pad_rows(queries.astype(jnp.float32), 8)
     qn, d = queries.shape
     call = _build_call(
         values.shape[0], d, qn, k, block_rows, jnp.int8, False, True, interpret,
-        int8_mode=variant,
+        int8_mode=variant, merge_impl=merge,
     )
     return call(
         nvalid,
@@ -541,6 +643,7 @@ def fused_topk_int8(
     block_rows: int | None = None,
     interpret: bool | None = None,
     _variant: str = "s8s8",
+    _merge: str = "extract",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """int8-stored index scan: half the HBM bytes, per-row scales
     recover cosine scores.
@@ -567,7 +670,7 @@ def fused_topk_int8(
     nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_int8_jit(
         values, scales, queries, nvalid, k, block_rows, interpret,
-        variant=_variant,
+        variant=_variant, merge=_merge,
     )
     return _trim(vals, ids, qn)
 

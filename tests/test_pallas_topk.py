@@ -249,3 +249,47 @@ def test_fused_int8_multi_tile(data):
     assert fv.shape == (192, K)
     r = recall_at_k(np.asarray(fi), oi, ov, tie_tol=5e-3, candidate_scores=np.asarray(fv))
     assert r > 0.9  # int8 quantization tolerance, same as single-tile test
+
+
+def test_staged_merge_matches_extract_and_topk_order():
+    """The staged merge (per-128-lane-group extraction, round 3) must be
+    bit-identical to the plain extract merge and to lax.top_k's
+    lowest-index-wins order — including exact ties from duplicated rows
+    within one group, across groups, and across blocks."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((500, 64)).astype(np.float32)
+    x = np.concatenate([base, base[:250], base[:125]], axis=0)  # 875 rows
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.integers(0, 500, 24)] + 0.01 * rng.standard_normal((24, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    xj, qj = jnp.asarray(x), jnp.asarray(q)
+    import jax
+
+    lv, li = jax.lax.top_k(jnp.asarray(q @ x.T), 10)
+    for br in (256, 512):
+        ve, ie = fused_topk(xj, qj, 10, n_valid=875, block_rows=br, _merge="extract")
+        vs, is_ = fused_topk(xj, qj, 10, n_valid=875, block_rows=br, _merge="staged")
+        np.testing.assert_array_equal(np.asarray(ie), np.asarray(is_))
+        np.testing.assert_allclose(np.asarray(ve), np.asarray(vs), atol=0)
+        np.testing.assert_array_equal(np.asarray(is_), np.asarray(li))
+    # pathological: every row identical -> ids must be 0..k-1
+    xd = np.tile(x[:1], (640, 1))
+    xd /= np.linalg.norm(xd, axis=1, keepdims=True)
+    _, idd = fused_topk(jnp.asarray(xd), qj, 10, n_valid=640, block_rows=256,
+                        _merge="staged")
+    assert (np.asarray(idd) == np.arange(10)).all()
+
+
+def test_staged_merge_int8_and_masked_paths():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1100, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    v8, s8 = quantize_int8(jnp.asarray(x))
+    ve, ie = fused_topk_int8(v8, s8, jnp.asarray(q), 10, n_valid=1100,
+                             block_rows=256, _merge="extract")
+    vs, is_ = fused_topk_int8(v8, s8, jnp.asarray(q), 10, n_valid=1100,
+                              block_rows=256, _merge="staged")
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(is_))
+    np.testing.assert_allclose(np.asarray(ve), np.asarray(vs), atol=0)

@@ -161,10 +161,16 @@ def main() -> None:
         if args.hybrid_alpha is not None:
             from arxiv_rag_tpu.search.bm25 import BM25Index
 
+            bm25_path = cdir / "bm25.npz"
             t0 = time.perf_counter()
-            bm25 = BM25Index.build(corpus.texts(), native=True)
-            log(f"bm25 built natively over {n_rows} docs in "
-                f"{time.perf_counter() - t0:.0f}s")
+            if bm25_path.exists():
+                bm25 = BM25Index.load(bm25_path)
+                log(f"bm25 loaded from {bm25_path} in {time.perf_counter() - t0:.0f}s")
+            else:
+                bm25 = BM25Index.build(corpus.texts(), native=True)
+                log(f"bm25 built natively over {n_rows} docs in "
+                    f"{time.perf_counter() - t0:.0f}s")
+                bm25.save(bm25_path)
         if args.rerank:
             from arxiv_rag_tpu.models.bert import BertConfig, init_params as bert_init
             from arxiv_rag_tpu.search.rerank import CrossEncoderReranker
