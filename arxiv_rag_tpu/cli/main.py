@@ -836,6 +836,17 @@ def _add_serve(sub) -> None:
                    help="compile every query-batch shape before listening "
                         "(a cold shape stalls live windows for seconds; on "
                         "the shared pool a remote compile can take minutes)")
+    # flagship retrieval config (reference config.yaml:62-69) is
+    # servable, not just searchable: hybrid BM25 merge + cross-encoder
+    p.add_argument("--hybrid-alpha", type=float, default=None,
+                   help="enable hybrid retrieval at this dense weight "
+                        "(builds BM25 over --corpus, aligned to index rows)")
+    p.add_argument("--rerank-checkpoint", default=None,
+                   help="cross-encoder checkpoint dir (config.json + "
+                        "state.npz + vocab.txt) for rerank of top-"
+                        "rerank_top_k candidates")
+    p.add_argument("--rerank-random-init", action="store_true",
+                   help="random-init cross-encoder (tests/offline smoke)")
 
 
 def cmd_serve(args) -> int:
@@ -875,6 +886,10 @@ def cmd_serve(args) -> int:
             for b in buckets:
                 engine.search([f"{warm_texts[b]} {i}" for i in range(qn)], k=10)
             print(f"warmed shapes for {qn}-query windows", file=sys.stderr)
+        groups = engine.warm_hydration()
+        if groups:
+            print(f"hydration cache prewarmed ({groups} row groups)",
+                  file=sys.stderr)
 
     httpd = serve(
         engine, args.host, args.port,

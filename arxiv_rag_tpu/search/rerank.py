@@ -83,8 +83,9 @@ class CrossEncoderReranker:
             bucket *= 2
         bucket = min(bucket, self.max_seq_len)
 
-        out = np.zeros((len(pairs),), np.float32)
         bs = self.batch_size
+        device_logits = []
+        counts = []
         for start in range(0, len(encoded), bs):
             batch = encoded[start : start + bs]
             n = len(batch)
@@ -97,12 +98,30 @@ class CrossEncoderReranker:
                 ids[i, : len(tok_ids)] = tok_ids
                 mask[i, : len(tok_ids)] = 1
                 types[i, : len(tok_types)] = tok_types
-            logits = self._classify(
+            # dispatch only — the device queue pipelines batches, and a
+            # per-batch fetch costs a full tunnel round trip (a 512-query
+            # window is ~100 batches: ~3 s of pure RTT, measured round 3)
+            device_logits.append(self._classify(
                 self.params, jnp.asarray(ids), jnp.asarray(mask), token_type_ids=jnp.asarray(types)
-            )
-            out[start : start + n] = np.asarray(logits, np.float32)[:n, 0]
+            ))
+            counts.append(n)
             self.stats.batches += 1
         self.stats.pairs += len(pairs)
+        # ONE fetch for the whole stream. The concat executable depends
+        # on the operand COUNT, so pad the list to a power of two —
+        # bounded compile set instead of one compile per window size
+        # (serving shape discipline; every remote compile stalls windows)
+        p2 = 1
+        while p2 < len(device_logits):
+            p2 *= 2
+        device_logits.extend([device_logits[-1]] * (p2 - len(device_logits)))
+        flat = np.asarray(jnp.concatenate(device_logits, axis=0), np.float32)[:, 0]
+        out = np.zeros((len(pairs),), np.float32)
+        pos = srcpos = 0
+        for n in counts:
+            out[pos : pos + n] = flat[srcpos : srcpos + n]
+            pos += n
+            srcpos += bs
         return out
 
     def rerank(

@@ -245,6 +245,16 @@ class CorpusReader:
             self._rg_cache_size -= self._rg_cache.pop(old_key).nbytes
         return tbl
 
+    def warm_cache(self, columns: Sequence[str] | None = None) -> int:
+        """Load every row group once through the bounded cache (serving
+        prewarm: cold parquet reads mid-window cost seconds; see
+        SearchEngine.warm_hydration). Returns resident group count."""
+        cols = tuple(columns) if columns else ()
+        for si, (_, starts) in enumerate(self._rowgroup_offsets()):
+            for rg in range(len(starts)):
+                self._load_rowgroup(si, rg, cols)
+        return len(self._rg_cache)
+
     def take_rows(self, rows: Sequence[int], columns: Sequence[str] | None = None) -> pa.Table:
         """Random-access fetch of corpus rows, aligned to ``rows`` order
         (duplicates allowed). Reads only the Parquet row groups that

@@ -272,3 +272,47 @@ def test_cli_eval_retrieval_quality(pdf_root, tmp_path, capsys):
     assert rep["queries"] == 3
     assert 0.0 <= rep["recall_at_k"] <= 1.0
     assert 0.0 <= rep["mrr_at_k"] <= 1.0
+
+
+def test_cli_serve_hybrid_rerank_engine(pdf_root, tmp_path):
+    """The serve verb accepts the flagship retrieval config (hybrid +
+    rerank, reference config.yaml:62-69): engine built from serve args
+    answers an HTTP query through the micro-batcher."""
+    import urllib.request
+    from types import SimpleNamespace
+
+    corpus = tmp_path / "c4"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    emb = tmp_path / "e4"
+    main(["embed", "--corpus", str(corpus), "--out", str(emb),
+          "--random-init", "--batch-size", "8", "--min-quality", "0.0"])
+    idx_dir = tmp_path / "i4"
+    main(["index", "--embeddings", str(emb), "--corpus", str(corpus),
+          "--out", str(idx_dir), "--dtype", "float32"])
+
+    from arxiv_rag_tpu.cli.main import _build_engine
+    from arxiv_rag_tpu.serve import serve_in_thread
+
+    args = SimpleNamespace(
+        index=str(idx_dir), corpus=str(corpus), checkpoint=None, vocab=None,
+        random_init=True, shard=False, hybrid_alpha=0.7,
+        rerank_checkpoint=None, rerank_random_init=True,
+    )
+    engine = _build_engine(args)
+    assert engine.bm25 is not None and engine.reranker is not None
+    httpd, _thread = serve_in_thread(engine, port=0, index_stats={})
+    host, port = httpd.server_address[:2]
+    req = urllib.request.Request(
+        f"http://{host}:{port}/search",
+        data=json.dumps({"queries": ["retrieval evaluation"], "k": 3,
+                         "hybrid_alpha": 0.7}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    hits = out["results"][0]
+    assert hits and all("score" in h for h in hits)
+    # reranked hits carry the dense score in extras -> surfaced as field
+    assert any("dense_score" in h for h in hits)
+    httpd.batcher.close()
+    httpd.server_close()

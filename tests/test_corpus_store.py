@@ -111,3 +111,15 @@ def test_take_rows_cache_bounded(tmp_path):
         big.take_rows([start], columns=["text"])
     assert len(big._rg_cache) == 8
     assert big._rg_cache_size == sum(t.nbytes for t in big._rg_cache.values())
+
+
+def test_warm_cache_loads_every_group(tmp_path):
+    recs = _mk_records(30)
+    with CorpusWriter(tmp_path / "c", rows_per_shard=8) as w:
+        w.add_all(recs)
+    r = CorpusReader(tmp_path / "c")
+    n = r.warm_cache(columns=["chunk_id", "text"])
+    assert n == len(r._rg_cache) == 4  # ceil(30/8) shards, 1 group each
+    # subsequent take_rows served from cache (no new entries)
+    r.take_rows([0, 29, 15], columns=["chunk_id", "text"])
+    assert len(r._rg_cache) == 4

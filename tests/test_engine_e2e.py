@@ -449,3 +449,20 @@ def test_lazy_hydration_filtered_index_chunk_id_join(stack):
     res_e = eager.search([texts[7]], k=3)
     assert [(h.row, h.chunk_id, h.text) for h in res[0]] == \
            [(h.row, h.chunk_id, h.text) for h in res_e[0]]
+
+
+def test_warm_hydration_prewarms_lazy_cache(stack):
+    d, tok, emb, corpus, texts, cats, vectors = stack
+    index = build_index(vectors, categories=cats, dtype="float32")
+    lazy_corpus = CorpusReader(d / "corpus")
+    eng = SearchEngine(index, embedder=emb, corpus=lazy_corpus)
+    eng.lazy_hydration = True
+    groups = eng.warm_hydration()
+    assert groups == len(lazy_corpus._rg_cache) > 0
+    lazy_corpus._load_rowgroup_calls = 0
+    res = eng.search([texts[4]], k=3)
+    assert res[0][0].text == texts[4]
+    # eager engines no-op
+    eager = SearchEngine(index, embedder=emb, corpus=corpus)
+    eager.lazy_hydration = False
+    assert eager.warm_hydration() == 0

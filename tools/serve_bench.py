@@ -156,7 +156,11 @@ def main() -> None:
                             category="cs.LG", section="body", page=1,
                         ))
                         pos += ln
-        corpus = CorpusReader(cdir)
+        # 2 GB row-group cache: the 2M corpus's text column is ~0.5 GB,
+        # so the default 512 MB budget evicts mid-window and every
+        # hybrid window re-reads cold parquet groups (measured: hydrate
+        # p95 7.8 s on the first run)
+        corpus = CorpusReader(cdir, cache_bytes=2 << 30)
         assert corpus.num_rows == n_rows, (corpus.num_rows, n_rows)
         if args.hybrid_alpha is not None:
             from arxiv_rag_tpu.search.bm25 import BM25Index
@@ -185,7 +189,7 @@ def main() -> None:
             )
             reranker = CrossEncoderReranker(
                 bert_init(jax.random.PRNGKey(5), bcfg, dtype=jnp.bfloat16),
-                bcfg, tok, batch_size=256,
+                bcfg, tok, batch_size=1024,
                 compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
             )
 
@@ -210,6 +214,14 @@ def main() -> None:
         )
         log(f"warmed Q bucket for {qn} queries")
     log("engine warmed")
+    if corpus is not None:
+        # resident hydration cache before timing — otherwise the first
+        # windows pay the whole cold fill (measured: hydrate p95 7.5 s,
+        # run-level qps halved by the transient)
+        t0 = time.perf_counter()
+        groups = engine.warm_hydration()
+        log(f"hydration cache prewarmed in {time.perf_counter() - t0:.0f}s "
+            f"({groups} row groups, {corpus._rg_cache_size / 1e6:.0f} MB)")
 
     httpd, _thr = serve_in_thread(
         engine, batch_window_ms=args.batch_window_ms, max_batch=512,
@@ -221,13 +233,32 @@ def main() -> None:
     lat_lock = threading.Lock()
     errs: list[str] = []
 
+    # hybrid-mode queries must share the corpus vocabulary or BM25
+    # matches nothing and the "hybrid" number is dense in disguise
+    # (round-3 bug: english query words vs the synthetic w#### vocab)
+    if corpus is not None:
+        _qrng = __import__("numpy").random.default_rng(42)
+
+        def make_queries(ci: int, qi: int) -> list[str]:
+            return [
+                " ".join(f"w{_qrng.integers(0, 50_000)}" for _ in range(6))
+                for _ in range(args.qbatch)
+            ]
+    else:
+        def make_queries(ci: int, qi: int) -> list[str]:
+            return [
+                f"query {ci} {qi} {j} dense retrieval on tpu"
+                for j in range(args.qbatch)
+            ]
+
+    qlock = threading.Lock()
+
     def client(ci: int) -> None:
         for qi in range(args.queries_per_client):
+            with qlock:  # rng is not thread-safe
+                queries = make_queries(ci, qi)
             payload = {
-                "queries": [
-                    f"query {ci} {qi} {j} dense retrieval on tpu"
-                    for j in range(args.qbatch)
-                ],
+                "queries": queries,
                 "k": 10,
             }
             if args.hybrid_alpha is not None:
