@@ -170,7 +170,12 @@ def _topk_kernel(
     # ---- fast path: skip merge when no query in this tile improves ----
     block_max = jnp.max(scores, axis=1, keepdims=True)  # [QB,1]
     kth = svals_ref[srows, k - 1 : k]  # [QB,1] current k-th best
-    needs_merge = jnp.any(block_max > kth)
+    if merge_impl == "none":
+        # PERF PROBE ONLY (output is the init scratch, recall broken):
+        # isolates scan+score+reduce cost from the merge entirely
+        needs_merge = block_max[0, 0] < kth[0, 0]
+    else:
+        needs_merge = jnp.any(block_max > kth)
 
     @pl.when(needs_merge)
     def _merge():

@@ -345,6 +345,7 @@ def main() -> None:
     masked_qps = 0.0
     masked_recall = 0.0
     masked_q512_qps = 0.0
+    int8m_q512_qps = 0.0
     int8_q512_qps = 0.0
     int8_q512_piped_qps = 0.0
     row_masks_dev = None
@@ -502,6 +503,21 @@ def main() -> None:
                 )
                 log(f"int8+masked fused: {int8m_qps:.1f} qps, "
                     f"recall@{k} = {int8m_recall:.4f}")
+                # category-filtered serving shape (int8 + masks @Q=512)
+                if q512 is not None and not past_deadline("int8+masked @Q=512"):
+                    qmask512 = jnp.full((512,), want, jnp.int32)
+                    _ = np.asarray(fused_topk_int8_masked(
+                        i8_vals, i8_scales, row_masks_dev, qmask512, q512, k,
+                        n_valid=n_rows)[0])
+                    lat8m5 = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        _ = np.asarray(fused_topk_int8_masked(
+                            i8_vals, i8_scales, row_masks_dev, qmask512, q512,
+                            k, n_valid=n_rows)[0])
+                        lat8m5.append(time.perf_counter() - t0)
+                    int8m_q512_qps = 512 / sorted(lat8m5)[len(lat8m5) // 2]
+                    log(f"int8+masked fused @Q=512: {int8m_q512_qps:.0f} qps")
             except Exception as exc:  # noqa: BLE001
                 log(f"int8+masked fused failed: {exc}")
 
@@ -663,6 +679,7 @@ def main() -> None:
                 "qps_at_q512_int8": round(int8_q512_qps, 1),
                 "qps_at_q512_int8_pipelined": round(int8_q512_piped_qps, 1),
                 "qps_at_q512_masked": round(masked_q512_qps, 1),
+                "qps_at_q512_int8_masked": round(int8m_q512_qps, 1),
                 "encoder_mfu": round(float(encoder_mfu), 4),
                 "fraction_of_read_bw": round(float(frac_sol), 3),
                 "fraction_of_read_bw_device": round(float(frac_sol_dev), 3),
