@@ -296,6 +296,22 @@ def _topk_kernel(
                 ),
             )
         else:
+            # "extract" or "extractN": N max-extractions per while-loop
+            # trip (bitwise-exact: the body is a fixed point once every
+            # query is done — ``improve`` gates the insert and mv masking,
+            # so extra trips are vector no-ops). MEASURED DEAD END
+            # (2026-08-17, amortized Q=512 on 2M): monotonically WORSE —
+            # int8 19.2 (x1) → 25.5 (x4) → 35.9 ms (x8). The merge cost
+            # is per-BODY VPU traffic (~1 us ≈ one [QB,BN] sweep per
+            # iteration), NOT the cond's scalar sync, so over-stepping
+            # pays full price for no-op bodies. x1 (= "extract") is the
+            # minimum-body-count member of this family; keep it the
+            # default. See CLAUDE.md "Q=512 fused-kernel cost
+            # decomposition" for the full model.
+            if not merge_impl.startswith("extract"):
+                raise ValueError(f"unknown merge_impl {merge_impl!r}")
+            unroll = int(merge_impl[7:] or "1")
+
             def cond(state):
                 mv, sv, si, m = state
                 return jnp.any(m > sv[:, k - 1 : k])
@@ -313,8 +329,13 @@ def _topk_kernel(
                 mv = jnp.where(hit & improve, NEG_INF, mv)
                 return mv, sv, si, jnp.max(mv, axis=1, keepdims=True)
 
+            def body_n(state):
+                for _ in range(unroll):
+                    state = body(state)
+                return state
+
             _, sv, si, _ = jax.lax.while_loop(
-                cond, body,
+                cond, body_n,
                 (scores, svals_ref[srows, :], sidx_ref[srows, :], block_max),
             )
         svals_ref[srows, :] = sv
@@ -559,14 +580,16 @@ def fused_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_rows", "interpret"),
+    static_argnames=("k", "block_rows", "interpret", "merge"),
 )
-def _fused_topk_masked_jit(index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret):
+def _fused_topk_masked_jit(index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret,
+                           merge="extract"):
     queries = _pad_rows(queries, 8)
     query_mask = _pad_rows(query_mask.reshape(-1, 1), 8)  # pad rows: mask 0
     qn, d = queries.shape
     call = _build_call(
-        index.shape[0], d, qn, k, block_rows, index.dtype, True, False, interpret
+        index.shape[0], d, qn, k, block_rows, index.dtype, True, False, interpret,
+        merge_impl=merge,
     )
     return call(
         nvalid,
@@ -587,6 +610,7 @@ def fused_topk_masked(
     n_valid: int | None = None,
     block_rows: int | None = None,
     interpret: bool | None = None,
+    _merge: str = "extract",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Metadata-filtered fused top-k (row bitmask & query bitmask != 0)."""
     if interpret is None:
@@ -601,7 +625,8 @@ def fused_topk_masked(
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_masked_jit(
-        index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret
+        index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret,
+        merge=_merge,
     )
     return _trim(vals, ids, qn)
 
@@ -682,11 +707,11 @@ def fused_topk_int8(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_rows", "interpret", "variant"),
+    static_argnames=("k", "block_rows", "interpret", "variant", "merge"),
 )
 def _fused_topk_int8_masked_jit(values, scales, row_masks, query_mask, queries,
                                 nvalid, k, block_rows, interpret,
-                                variant="row"):
+                                variant="row", merge="extract"):
     if variant == "s8s8":
         qf = _pad_rows(queries.astype(jnp.float32), 32)
         query_mask = _pad_rows(query_mask.reshape(-1, 1), 32)
@@ -695,7 +720,7 @@ def _fused_topk_int8_masked_jit(values, scales, row_masks, query_mask, queries,
         q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
         call = _build_call(
             values.shape[0], d, qn, k, block_rows, jnp.int8, True, True,
-            interpret, int8_mode="s8s8",
+            interpret, int8_mode="s8s8", merge_impl=merge,
         )
         return call(
             nvalid, q8, values, scales.reshape(1, -1), qs,
@@ -707,7 +732,7 @@ def _fused_topk_int8_masked_jit(values, scales, row_masks, query_mask, queries,
     qn, d = queries.shape
     call = _build_call(
         values.shape[0], d, qn, k, block_rows, jnp.int8, True, True, interpret,
-        int8_mode=variant,
+        int8_mode=variant, merge_impl=merge,
     )
     return call(
         nvalid,
@@ -731,6 +756,7 @@ def fused_topk_int8_masked(
     block_rows: int | None = None,
     interpret: bool | None = None,
     _variant: str = "s8s8",
+    _merge: str = "extract",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Metadata-filtered int8-storage scan, fully fused: half the HBM
     bytes AND exact category filtering in one kernel pass (BASELINE
@@ -747,6 +773,6 @@ def fused_topk_int8_masked(
     nvalid = np.full((1, 1), n, np.int32)
     vals, ids = _fused_topk_int8_masked_jit(
         values, scales, row_masks, query_mask, queries, nvalid, k, block_rows,
-        interpret, variant=_variant,
+        interpret, variant=_variant, merge=_merge,
     )
     return _trim(vals, ids, qn)

@@ -51,9 +51,71 @@ class CrossEncoderReranker:
         self.max_seq_len = max_seq_len
         self.batch_size = batch_size
         self.stats = RerankStats()
+        self._native = False  # lazily resolved to NativeWordPieceTokenizer | None
         self._classify = jax.jit(
             partial(classify, cfg=cfg, compute_dtype=compute_dtype)
         )
+
+    def _native_tokenizer(self):
+        """C++ WordPiece core for the pair stream, built lazily from this
+        tokenizer's vocab (written to a temp file — the Python tokenizer
+        holds only the dict). At rerank load the HOST is the bottleneck:
+        ~1.5k passages/s of pair text saturates a 1-core box at the
+        Python tokenizer's 0.35 MB/s while the cross-encoder itself
+        could score ~3x more — the native core runs 38x faster
+        (CLAUDE.md). Falls back to None (pure-Python path) if the
+        native lib can't build or the vocab has id gaps."""
+        if self._native is not False:
+            return self._native
+        self._native = None
+        try:
+            from arxiv_rag_tpu.tokenize import native as native_mod
+
+            if native_mod.is_available():
+                import tempfile
+
+                tk = self.tokenizer
+                size = max(tk.vocab.values()) + 1
+                toks: list[str | None] = [None] * size
+                for t, i in tk.vocab.items():
+                    toks[i] = t
+                if any(t is None for t in toks):
+                    return None  # sparse vocab: file line == id breaks
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".vocab.txt", delete=False, encoding="utf-8"
+                ) as f:
+                    f.write("\n".join(toks) + "\n")
+                    path = f.name
+                self._native = native_mod.NativeWordPieceTokenizer(
+                    path, specials=tk.specials,
+                    do_lower_case=tk.do_lower_case,
+                )
+        except Exception:  # noqa: BLE001 — native is an optimization only
+            self._native = None
+        return self._native
+
+    def _raw_ids(self, texts: Sequence[str]) -> list[list[int]]:
+        """WordPiece ids (no specials) per text, deduplicated: each
+        unique text tokenizes ONCE (a 50-passage window repeats every
+        query string 50x in the pair list)."""
+        order: list[str] = []
+        slot: dict[str, int] = {}
+        for t in texts:
+            if t not in slot:
+                slot[t] = len(order)
+                order.append(t)
+        nat = self._native_tokenizer()
+        if nat is not None:
+            ids, mask = nat.encode_batch(order, max_len=self.max_seq_len)
+            lens = mask.sum(axis=1)
+            raw = [ids[i, 1 : lens[i] - 1].tolist() for i in range(len(order))]
+        else:
+            tk = self.tokenizer
+            raw = [
+                [tk.vocab.get(w, tk.unk_id) for w in tk.tokenize(t)]
+                for t in order
+            ]
+        return [raw[slot[t]] for t in texts]
 
     def _encode_pair(self, query_ids: list[int], passage_ids: list[int]) -> tuple[list[int], list[int]]:
         tk = self.tokenizer
@@ -70,12 +132,11 @@ class CrossEncoderReranker:
         if not pairs:
             return np.zeros((0,), np.float32)
         tk = self.tokenizer
-        def raw_ids(text: str) -> list[int]:
-            return [tk.vocab.get(t, tk.unk_id) for t in tk.tokenize(text)]
-
-        encoded = []
-        for q, p in pairs:
-            encoded.append(self._encode_pair(raw_ids(q), raw_ids(p)))
+        q_ids = self._raw_ids([q for q, _ in pairs])
+        p_ids = self._raw_ids([p for _, p in pairs])
+        encoded = [
+            self._encode_pair(qi, pi) for qi, pi in zip(q_ids, p_ids)
+        ]
         max_len = max(len(ids) for ids, _ in encoded)
         # pad to a power-of-two-ish bucket for compile reuse
         bucket = 64

@@ -265,3 +265,35 @@ def test_reranker_window_in_engine_dispatch_counts():
 
     total_pairs = sum(min(50, idx.num_rows) for _ in range(12))
     assert rr.stats.batches == math.ceil(total_pairs / 8)
+
+
+def test_raw_ids_native_matches_python():
+    """The rerank pair stream's native tokenization (round 3: the 1-core
+    host's Python WordPiece was the rerank bottleneck) must produce ids
+    identical to the pure-Python path, and memoize repeated texts."""
+    from arxiv_rag_tpu.tokenize.native import is_available
+
+    rr = _fake_reranker()
+    texts = [
+        "What is dense retrieval?",
+        "Quantum gravity & LaTeX $x^2$ artifacts...",
+        "What is dense retrieval?",  # repeat: must dedupe
+        "passage with UPPERCASE and 12345 numbers",
+        "",
+    ]
+    rr._native = None  # force the Python path
+    py = rr._raw_ids(texts)
+    assert py[0] == py[2]
+    rr._native = False  # re-resolve lazily
+    nat_tok = rr._native_tokenizer()
+    if nat_tok is None:
+        assert not is_available()
+        return
+    nat = rr._raw_ids(texts)
+    assert nat == py
+    # scores identical whichever tokenizer ran
+    pairs = [(texts[0], texts[1]), (texts[0], texts[3])]
+    s_nat = rr.score_pairs(pairs)
+    rr._native = None
+    s_py = rr.score_pairs(pairs)
+    np.testing.assert_allclose(s_nat, s_py, atol=1e-6)

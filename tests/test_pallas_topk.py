@@ -293,3 +293,39 @@ def test_staged_merge_int8_and_masked_paths():
                               block_rows=256, _merge="staged")
     np.testing.assert_array_equal(np.asarray(ie), np.asarray(is_))
     np.testing.assert_allclose(np.asarray(ve), np.asarray(vs), atol=0)
+
+
+def test_unrolled_extract_merge_matches_extract_exactly():
+    """extractN (N max-extractions per while trip, round 3) must be
+    bit-identical to extract and to lax.top_k order — incl. exact ties
+    from duplicated rows, and over-stepping past completion (unroll
+    larger than the insertions any block needs)."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((500, 64)).astype(np.float32)
+    x = np.concatenate([base, base[:250], base[:125]], axis=0)  # 875 rows
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.integers(0, 500, 24)] + 0.01 * rng.standard_normal((24, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    xj, qj = jnp.asarray(x), jnp.asarray(q)
+    import jax
+
+    lv, li = jax.lax.top_k(jnp.asarray(q @ x.T), 10)
+    for merge in ("extract2", "extract4", "extract16"):
+        ve, ie = fused_topk(xj, qj, 10, n_valid=875, block_rows=256, _merge="extract")
+        vu, iu = fused_topk(xj, qj, 10, n_valid=875, block_rows=256, _merge=merge)
+        np.testing.assert_array_equal(np.asarray(ie), np.asarray(iu))
+        np.testing.assert_allclose(np.asarray(ve), np.asarray(vu), atol=0)
+        np.testing.assert_array_equal(np.asarray(iu), np.asarray(li))
+    # int8 s8s8 path takes merge too
+    v8, s8 = quantize_int8(xj)
+    ie8 = np.asarray(fused_topk_int8(v8, s8, qj, 10, n_valid=875,
+                                     block_rows=256, _merge="extract")[1])
+    iu8 = np.asarray(fused_topk_int8(v8, s8, qj, 10, n_valid=875,
+                                     block_rows=256, _merge="extract4")[1])
+    np.testing.assert_array_equal(ie8, iu8)
+    # every row identical -> ids must be 0..k-1 even with over-stepping
+    xd = np.tile(x[:1], (640, 1))
+    xd /= np.linalg.norm(xd, axis=1, keepdims=True)
+    _, idd = fused_topk(jnp.asarray(xd), qj, 10, n_valid=640, block_rows=256,
+                        _merge="extract8")
+    assert (np.asarray(idd) == np.arange(10)).all()
