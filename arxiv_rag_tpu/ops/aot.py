@@ -1,0 +1,155 @@
+"""Disk cache of serialized compiled executables (AOT warm start).
+
+Through the tunneled shared pool a Mosaic compile takes 10 s-10 min, and
+one serving shape (plain-bf16 Q=32) never lands in XLA's persistent
+compile cache at all (CLAUDE.md QUIRK — every process paid 95-320 s).
+``jax.experimental.serialize_executable`` round-trips the COMPILED
+executable instead: deserialize+load is ~0.1 s (proven in
+tools/aot_fused.py / bench.py round 3). This module generalizes that
+recipe: a keyed get-or-compile around any jitted function, so `arag
+serve --warmup` and bench restarts skip every previously-seen compile.
+
+Keys include shapes, dtypes, static kwargs, the jax version and a
+format revision; any load failure falls back to the plain jit call
+(the payloads are a cache, never a correctness dependency).
+
+Enabled on the TPU backend by default; ``ARAG_AOT=0`` disables,
+``ARAG_AOT_DIR`` overrides the payload directory (default
+``/tmp/arag_aot``). Reference anchor: the reference has no serving
+runtime at all (config-only retrieval, ``3-chunks/pipeline/config.yaml``);
+this is TPU-deployment infrastructure it never needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import threading
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+_FORMAT_REV = 1
+_MEM: dict[str, Callable] = {}
+_FAILED: set[str] = set()  # keys whose save/load already failed — don't retry
+_SAVING: set[str] = set()  # keys with an in-flight background serialize
+_LOCK = threading.Lock()
+
+
+def enabled() -> bool:
+    if os.environ.get("ARAG_AOT", "") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _cache_dir() -> Path:
+    return Path(os.environ.get("ARAG_AOT_DIR", "/tmp/arag_aot"))
+
+
+def _key(name: str, args: tuple, static_kwargs: dict[str, Any]) -> str:
+    parts = [name, jax.__version__, str(_FORMAT_REV)]
+    for a in args:
+        parts.append(f"{tuple(a.shape)}:{np.dtype(a.dtype).name}")
+    for k in sorted(static_kwargs):
+        parts.append(f"{k}={static_kwargs[k]}")
+    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+    return f"{name}_{digest}"
+
+
+def _load(key: str) -> Callable | None:
+    path = _cache_dir() / f"{key}.pkl"
+    if not path.exists():
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        return se.deserialize_and_load(payload, in_tree, out_tree)
+    except Exception:  # noqa: BLE001 — stale/incompatible payload
+        _FAILED.add(key)
+        try:
+            path.unlink()
+        except OSError:
+            pass
+        return None
+
+
+def _save(key: str, jit_fn, args: tuple, static_kwargs: dict[str, Any]) -> Callable | None:
+    """Serialize the (already warm) compiled executable. lower+compile on
+    a warm jit reuses the cached executable, so this is cheap."""
+    try:
+        from jax.experimental import serialize_executable as se
+
+        sds = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+        comp = jit_fn.lower(*sds, **static_kwargs).compile()
+        payload = se.serialize(comp)
+        d = _cache_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".{key}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        tmp.replace(d / f"{key}.pkl")
+        return comp
+    except Exception:  # noqa: BLE001 — never let the cache break the call
+        _FAILED.add(key)
+        return None
+
+
+def call(name: str, jit_fn, args: tuple, static_kwargs: dict[str, Any]):
+    """Invoke ``jit_fn(*args, **static_kwargs)`` through the AOT cache:
+    in-memory executable → disk payload → plain jit call (which compiles
+    via XLA's own persistent cache), serializing after the first success
+    so the NEXT process skips the compile entirely."""
+    key = _key(name, args, static_kwargs)
+    fn = _MEM.get(key)
+    if fn is None:
+        with _LOCK:
+            fn = _MEM.get(key)
+            if fn is None and key not in _FAILED:
+                fn = _load(key)
+                if fn is not None:
+                    _MEM[key] = fn
+    if fn is not None:
+        try:
+            return fn(*args)
+        except Exception:  # noqa: BLE001 — stale payload failing at RUN
+            # time (e.g. after a libtpu/XLA update): drop it and fall
+            # back to the jit, which recompiles and re-serializes
+            with _LOCK:
+                _MEM.pop(key, None)
+                _FAILED.add(key)
+            try:
+                (_cache_dir() / f"{key}.pkl").unlink()
+            except OSError:
+                pass
+    out = jit_fn(*args, **static_kwargs)
+
+    # serialize in the background: lower+compile on the warm jit is
+    # cheap but not free (~100 ms of host work), and the caller may be
+    # inside a serving window
+    def _bg() -> None:
+        with _LOCK:
+            if key in _MEM or key in _FAILED or key in _SAVING:
+                return
+            _SAVING.add(key)
+        comp = _save(key, jit_fn, args, static_kwargs)  # slow: not locked
+        with _LOCK:
+            _SAVING.discard(key)
+            _MEM.setdefault(
+                key,
+                comp if comp is not None
+                else (lambda *a: jit_fn(*a, **static_kwargs)),
+            )
+
+    with _LOCK:
+        if key in _FAILED:
+            # payload path is dead for this key — route straight to the
+            # jit from now on (no save retries, no thread churn)
+            _MEM.setdefault(key, lambda *a: jit_fn(*a, **static_kwargs))
+        else:
+            threading.Thread(target=_bg, daemon=True).start()
+    return out

@@ -531,6 +531,22 @@ def _trim(vals, ids, qn):
     return vals, ids
 
 
+def _aot_or_jit(name, jit_fn, args, static_kwargs):
+    """Route through the AOT executable disk cache on TPU (a warm-start
+    payload loads in ~0.1 s vs 10 s-10 min Mosaic compiles through the
+    shared pool — and the plain-bf16 Q=32 shape NEVER persists in XLA's
+    own compile cache here, CLAUDE.md QUIRK). Interpret mode and
+    non-TPU backends use the plain jit."""
+    if not static_kwargs.get("interpret", False) and not any(
+        isinstance(a, jax.core.Tracer) for a in args
+    ):
+        from arxiv_rag_tpu.ops import aot
+
+        if aot.enabled():
+            return aot.call(name, jit_fn, args, static_kwargs)
+    return jit_fn(*args, **static_kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_rows", "interpret", "merge"),
@@ -573,8 +589,10 @@ def fused_topk(
     n = index.shape[0] if n_valid is None else n_valid
     index = _pad_rows(index, block_rows)
     nvalid = np.full((1, 1), n, np.int32)
-    vals, ids = _fused_topk_jit(index, queries, nvalid, k, block_rows, interpret,
-                                merge=_merge)
+    vals, ids = _aot_or_jit(
+        "fused_topk", _fused_topk_jit, (index, queries, nvalid),
+        dict(k=k, block_rows=block_rows, interpret=interpret, merge=_merge),
+    )
     return _trim(vals, ids, qn)
 
 
@@ -624,9 +642,10 @@ def fused_topk_masked(
     index = _pad_rows(index, block_rows)
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = np.full((1, 1), n, np.int32)
-    vals, ids = _fused_topk_masked_jit(
-        index, row_masks, query_mask, queries, nvalid, k, block_rows, interpret,
-        merge=_merge,
+    vals, ids = _aot_or_jit(
+        "fused_topk_masked", _fused_topk_masked_jit,
+        (index, row_masks, query_mask, queries, nvalid),
+        dict(k=k, block_rows=block_rows, interpret=interpret, merge=_merge),
     )
     return _trim(vals, ids, qn)
 
@@ -698,9 +717,11 @@ def fused_topk_int8(
     values = _pad_rows(values, block_rows)
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = np.full((1, 1), n, np.int32)
-    vals, ids = _fused_topk_int8_jit(
-        values, scales, queries, nvalid, k, block_rows, interpret,
-        variant=_variant, merge=_merge,
+    vals, ids = _aot_or_jit(
+        "fused_topk_int8", _fused_topk_int8_jit,
+        (values, scales, queries, nvalid),
+        dict(k=k, block_rows=block_rows, interpret=interpret,
+             variant=_variant, merge=_merge),
     )
     return _trim(vals, ids, qn)
 
@@ -771,8 +792,10 @@ def fused_topk_int8_masked(
     scales = _pad_rows(scales.reshape(-1, 1), block_rows).reshape(-1)
     row_masks = _pad_rows(row_masks.reshape(-1, 1), block_rows).reshape(-1)
     nvalid = np.full((1, 1), n, np.int32)
-    vals, ids = _fused_topk_int8_masked_jit(
-        values, scales, row_masks, query_mask, queries, nvalid, k, block_rows,
-        interpret, variant=_variant, merge=_merge,
+    vals, ids = _aot_or_jit(
+        "fused_topk_int8_masked", _fused_topk_int8_masked_jit,
+        (values, scales, row_masks, query_mask, queries, nvalid),
+        dict(k=k, block_rows=block_rows, interpret=interpret,
+             variant=_variant, merge=_merge),
     )
     return _trim(vals, ids, qn)

@@ -1,0 +1,95 @@
+"""AOT executable disk cache (ops/aot.py): get-or-compile correctness,
+cross-"process" payload reuse (simulated by clearing the in-memory map),
+key sensitivity to statics, and graceful fallback when payloads break."""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arxiv_rag_tpu.ops import aot
+
+
+@pytest.fixture(autouse=True)
+def _clean_state(tmp_path, monkeypatch):
+    monkeypatch.setenv("ARAG_AOT_DIR", str(tmp_path))
+    aot._MEM.clear()
+    aot._FAILED.clear()
+    yield tmp_path
+    aot._MEM.clear()
+    aot._FAILED.clear()
+
+
+def _wait_for_save(tmp_path, pattern, timeout=10.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        hits = list(tmp_path.glob(pattern))
+        if hits or aot._FAILED:
+            return hits
+        time.sleep(0.05)
+    return []
+
+
+@jax.jit
+def _noop(x):  # placeholder so jax is initialized before tests time things
+    return x
+
+
+toy = jax.jit(lambda x, s: x * s, static_argnames=("s",))
+
+
+def test_call_correct_and_saves_payload(_clean_state):
+    tmp_path = _clean_state
+    x = jnp.arange(8, dtype=jnp.float32)
+    out = aot.call("toy", toy, (x,), {"s": 3})
+    np.testing.assert_allclose(np.asarray(out), np.arange(8, dtype=np.float32) * 3)
+    hits = _wait_for_save(tmp_path, "toy_*.pkl")
+    if not hits:
+        pytest.skip("executable serialization unsupported on this backend")
+    # a fresh process (simulated: clear the memory map) loads from disk —
+    # and MUST stay correct even when the payload fails at run time
+    # (XLA:CPU AOT results are machine-feature-pinned and can SIGILL-ish
+    # fail on a different host; TPU payloads go stale across libtpu
+    # updates — either way aot.call falls back to the jit and
+    # blacklists the key)
+    aot._MEM.clear()
+    out2 = aot.call("toy", toy, (x,), {"s": 3})
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out))
+    key = aot._key("toy", (x,), {"s": 3})
+    if key in aot._FAILED:  # payload executed and failed → must be gone
+        assert not (tmp_path / f"{key}.pkl").exists()
+
+
+def test_key_distinguishes_statics_and_shapes(_clean_state):
+    x = jnp.arange(8, dtype=jnp.float32)
+    assert aot._key("toy", (x,), {"s": 3}) != aot._key("toy", (x,), {"s": 4})
+    y = jnp.arange(16, dtype=jnp.float32)
+    assert aot._key("toy", (x,), {"s": 3}) != aot._key("toy", (y,), {"s": 3})
+    assert aot._key("toy", (x,), {"s": 3}) != aot._key(
+        "toy", (x.astype(jnp.int32),), {"s": 3}
+    )
+    out4 = aot.call("toy", toy, (x,), {"s": 4})
+    np.testing.assert_allclose(np.asarray(out4), np.arange(8, dtype=np.float32) * 4)
+
+
+def test_corrupt_payload_falls_back(_clean_state):
+    tmp_path = _clean_state
+    x = jnp.arange(4, dtype=jnp.float32)
+    key = aot._key("toy", (x,), {"s": 2})
+    (tmp_path / f"{key}.pkl").write_bytes(b"not a pickle")
+    out = aot.call("toy", toy, (x,), {"s": 2})
+    np.testing.assert_allclose(np.asarray(out), np.arange(4, dtype=np.float32) * 2)
+    # the bad payload was removed and the key blacklisted from reload
+    assert not (tmp_path / f"{key}.pkl").exists()
+    assert key in aot._FAILED
+
+
+def test_enabled_gates_on_backend(monkeypatch):
+    monkeypatch.setenv("ARAG_AOT", "0")
+    assert not aot.enabled()
+    monkeypatch.delenv("ARAG_AOT")
+    # CPU backend in tests → disabled by default
+    assert aot.enabled() == (jax.default_backend() == "tpu")
