@@ -1,4 +1,4 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE JSON line for the driver, ALWAYS.
 
 Headline metric (BASELINE.json): flat-scan search QPS/chip at recall@10
 parity on a ~2M×768 corpus, via the Pallas fused matmul + streaming
@@ -6,25 +6,46 @@ top-k kernel over an HBM-resident bf16 index. ``vs_baseline`` is the
 speedup over the reference-equivalent CPU exact scan (numpy fp32 — the
 only search the reference corpus could support, and the recall oracle).
 
+Crash-proofing (round 4, after BENCH_r03 died rc=1 on a transient
+RESOURCE_EXHAUSTED with no JSON):
+- ``main`` owns a result dict that every phase fills in; the JSON line
+  prints in a ``finally`` with an ``"error"`` field listing whatever
+  failed. A phase failure never kills the run.
+- No full fp32 index ever exists on device. The corpus is generated in
+  8 fp32 slices; each slice feeds the fp32 recall oracles (plain +
+  masked), the bf16 copy and the int8 quantization, then is freed —
+  sustained HBM is ~4.6 GB (bf16 3.07 + int8 1.54) instead of the
+  round-3 9.2-10.7 GB that left no headroom for pool co-tenants.
+- The fused headline goes through ``ops.aot``: a stale/unlucky AOT
+  payload failing at RUN time is dropped and a fresh fused compile is
+  attempted before any XLA surrender (round-3 failure mode: AOT run
+  died and the code fell straight to the XLA scan, which then also
+  died, unprotected).
+- Any RESOURCE_EXHAUSTED classified during setup/headline retries ONCE
+  at half the row count, with ``"rows_reduced": true`` reported.
+
 Protocol notes (sized for a tunneled single chip + 1-core host):
 - the index is generated and normalized ON DEVICE (no multi-GB
   host→device transfer distorting the measurement);
-- recall parity is checked against an on-device fp32 exact scan with
-  HIGHEST-precision matmul (bitwise-stable ranking reference), on top
-  of a host numpy cross-check over a row slice;
+- recall parity is checked against an fp32 exact scan with
+  HIGHEST-precision matmul (slice-wise, lossless top-k merge — a
+  shard-local-topk union contains the global top-k), plus a host numpy
+  cross-check over a row slice;
+- ``block_until_ready`` through the tunnel returns before execution
+  finishes; fetching the (tiny) result forces a true roundtrip and is
+  the only honest clock here (CLAUDE.md);
 - the CPU baseline is timed on ``ARAG_BENCH_CPU_ROWS`` rows and scaled
   linearly to the full row count (a flat scan is bandwidth/flops-bound,
   so QPS ∝ 1/rows; the scaling is reported, not hidden).
 
-Extra fields report recall@10 and encoder throughput (chunks/sec/chip
-on the full-size all-mpnet-base-v2 forward, bf16, batch 512×seq128).
-
 Env knobs: ARAG_BENCH_ROWS (default 2_000_000 on TPU), ARAG_BENCH_CPU_ROWS
-(default 200_000), ARAG_BENCH_SKIP_ENCODER=1.
+(default 200_000), ARAG_BENCH_SKIP_ENCODER=1, ARAG_BENCH_DEADLINE,
+ARAG_BENCH_COMPILE_TIMEOUT.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -40,26 +61,49 @@ def log(msg: str) -> None:
 T0 = time.perf_counter()
 
 
-def main() -> None:
+class _Oom(RuntimeError):
+    """Device memory exhaustion — worth retrying at reduced scale."""
+
+
+def _is_oom(exc: BaseException) -> bool:
+    return "RESOURCE_EXHAUSTED" in repr(exc)
+
+
+def run_bench(result: dict, errors: list, n_rows: int) -> None:
     import jax
 
-    # persistent compile cache: tunneled-TPU compiles cost minutes;
-    # amortize across bench runs/rounds
     jax.config.update("jax_compilation_cache_dir", "/tmp/arag_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from arxiv_rag_tpu.models import ModelConfig, encode, init_params
     from arxiv_rag_tpu.ops.pallas_topk import fused_topk
-    from arxiv_rag_tpu.ops.topk import cosine_topk_numpy, flat_search, recall_at_k
+    from arxiv_rag_tpu.ops.quant import quantize_int8
+    from arxiv_rag_tpu.ops.topk import (
+        cosine_topk_numpy,
+        flat_search,
+        masked_flat_search,
+        recall_at_k,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
-    n_rows = int(os.environ.get("ARAG_BENCH_ROWS", 2_000_000 if on_tpu else 100_000))
     cpu_rows = min(n_rows, int(os.environ.get("ARAG_BENCH_CPU_ROWS", 200_000)))
     dim, q_batch, k = 768, 32, 10
+    result["backend"] = jax.default_backend()
+    result["rows"] = n_rows
+    result["metric"] = f"flat_scan_qps_per_chip_{n_rows}x{dim}_bf16_recall_parity"
     log(f"backend={jax.default_backend()} rows={n_rows} cpu_rows={cpu_rows}")
 
-    # --- corpus + queries generated on device --------------------------------
+    deadline = float(os.environ.get("ARAG_BENCH_DEADLINE", 700.0))
+
+    def past_deadline(phase: str) -> bool:
+        if time.perf_counter() - T0 > deadline:
+            log(f"soft deadline ({deadline:.0f}s) hit; skipping {phase} "
+                "(remote compiles on the shared pool vary 2-10 min)")
+            return True
+        return False
+
+    # --- corpus + queries generated on device, SLICE-WISE -------------------
     from functools import partial
 
     @partial(jax.jit, static_argnums=1)
@@ -71,33 +115,87 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     kq, ki = jax.random.split(key)
     queries_dev = make_normal(kq, q_batch)
-    queries_dev.block_until_ready()
+    _ = np.asarray(queries_dev)
     log("queries ready")
 
     BLOCK_ROWS = 4096
-    index_f32 = make_normal(ki, n_rows)
-    index_f32.block_until_ready()
-    log("index generated on device (fp32)")
-    # pad ONCE to the kernel block multiple — an unaligned index makes
-    # fused_topk pad per call (a full index copy inside the timed loop)
     pad = (-n_rows) % BLOCK_ROWS
-    index = index_f32.astype(jnp.bfloat16)
-    if pad:
-        index = jnp.pad(index, ((0, pad), (0, 0)))
-    index.block_until_ready()
-    log(f"index cast to bf16 (+{pad} pad rows)")
+    padded_rows = n_rows + pad
 
-    # CPU baseline runs in a thread while the device compiles the kernel
-    # (the Pallas remote compile takes 2-10 min on the shared pool and
-    # releases the GIL; the 1-core host is otherwise idle)
+    # synthetic 8-category masks for the masked variants (generated up
+    # front so the masked fp32 oracle can run slice-wise too)
+    kmask = jax.random.PRNGKey(3)
+    row_masks_dev = (
+        1 << jax.random.randint(kmask, (padded_rows,), 0, 8)
+    ).astype(jnp.int32)
+    want = 0b00000111  # 3 of 8 categories eligible (~37% of rows)
+    qmask_dev = jnp.full((q_batch,), want, jnp.int32)
+
+    # slice-wise build: fp32 slice -> (oracle partials, bf16 write, int8
+    # write) -> free. Donated dynamic_update_slice keeps one resident
+    # bf16 + int8 buffer instead of list-concat doubling.
+    @partial(jax.jit, donate_argnums=(0,))
+    def _write(buf, sl, offset):
+        return jax.lax.dynamic_update_slice(buf, sl, (offset, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _write1(buf, sl, offset):
+        return jax.lax.dynamic_update_slice(buf, sl, (offset,))
+
+    slice_oracle = jax.jit(lambda sl, q: flat_search(sl, q, k))
+    slice_oracle_masked = jax.jit(
+        lambda sl, rm, qm, q: masked_flat_search(sl, rm, qm, q, k)
+    )
+    quantize_jit = jax.jit(quantize_int8)
+
+    index = jnp.zeros((padded_rows, dim), jnp.bfloat16)
+    i8_vals = jnp.zeros((padded_rows, dim), jnp.int8)
+    i8_scales = jnp.zeros((padded_rows,), jnp.float32)
+    n_slices = 8
+    step = -(-n_rows // n_slices)
+    o_v, o_i, mo_v, mo_i = [], [], [], []
+    for s in range(0, n_rows, step):
+        rows = min(step, n_rows - s)
+        sl = make_normal(jax.random.fold_in(ki, s), rows)
+        sv, si = slice_oracle(sl, queries_dev)
+        o_v.append(np.asarray(sv))
+        o_i.append(np.asarray(si).astype(np.int64) + s)
+        msv, msi = slice_oracle_masked(
+            sl,
+            jax.lax.dynamic_slice(row_masks_dev, (s,), (rows,)).astype(jnp.uint32),
+            qmask_dev.astype(jnp.uint32),
+            queries_dev,
+        )
+        mo_v.append(np.asarray(msv))
+        # masked oracle marks empty slots with -inf/-1; keep ids valid
+        msi_np = np.asarray(msi).astype(np.int64)
+        mo_i.append(np.where(msi_np >= 0, msi_np + s, -1))
+        qv, qsc = quantize_jit(sl)
+        index = _write(index, sl.astype(jnp.bfloat16), s)
+        i8_vals = _write(i8_vals, qv, s)
+        i8_scales = _write1(i8_scales, qsc, s)
+        sl.delete()
+    _ = np.asarray(i8_scales[:8])  # sync the build chain
+    log(f"index built slice-wise: bf16 + int8 resident, fp32 freed "
+        f"(+{pad} pad rows); oracles merged on host")
+
+    # lossless merge of the slice-local top-ks (union contains global top-k)
+    def _merge_oracle(vs, is_):
+        cv = np.concatenate(vs, axis=1)
+        ci = np.concatenate(is_, axis=1)
+        order = np.argsort(-cv, axis=1)[:, :k]
+        return np.take_along_axis(cv, order, 1), np.take_along_axis(ci, order, 1)
+
+    ov, oi = _merge_oracle(o_v, o_i)
+    momv, momi = _merge_oracle(mo_v, mo_i)
+
+    # CPU baseline data prep in a thread (overlaps remote compiles; the
+    # TIMING runs synchronously later on an uncontended host)
     import threading
 
     cpu_result: dict = {}
 
     def cpu_baseline():
-        # data prep only in the thread (overlaps the remote compile);
-        # the TIMING runs synchronously later on an uncontended host —
-        # a threaded measurement gets inflated by fetch/decode CPU work
         rng = np.random.default_rng(0)
         host_slice = rng.standard_normal((cpu_rows, dim), dtype=np.float32)
         host_slice /= np.linalg.norm(host_slice, axis=1, keepdims=True)
@@ -109,63 +207,31 @@ def main() -> None:
     cpu_thread.start()
 
     kernel_impl = "pallas_fused"
+    qbf_dev = queries_dev.astype(jnp.bfloat16)
 
     def run_fused():
-        return fused_topk(index, queries_dev.astype(jnp.bfloat16), k,
-                          n_valid=n_rows, block_rows=BLOCK_ROWS)
+        # routes through ops.aot: payload load in ~0.1 s when warm; a
+        # payload failing at RUN time is dropped and the jit compiles
+        # fresh (the round-3 crash fell straight to XLA instead)
+        return fused_topk(index, qbf_dev, k, n_valid=n_rows, block_rows=BLOCK_ROWS)
 
     def run_xla():
         return flat_search(index, queries_dev, k)
 
     run_search = run_fused if on_tpu else run_xla
 
-    # AOT fast path (round-3, tools/aot_fused.py proof): the plain-bf16
-    # Q=32 compile historically never landed in the persistent cache
-    # through this tunnel (95-320s per process, CLAUDE.md QUIRK), but a
-    # serialized COMPILED executable deserializes in ~0.1s. Try the
-    # payload first; after a successful normal compile, write it.
-    import pickle
-    from pathlib import Path as _Path
-
-    aot_path = _Path(f"/tmp/arag_aot_fused_q{q_batch}_{index.shape[0]}x{dim}"
-                     f"_b{BLOCK_ROWS}.pkl")
-    nvalid_arr = jnp.asarray(np.full((1, 1), n_rows, np.int32))
-    qbf_dev = queries_dev.astype(jnp.bfloat16)
-    if on_tpu and aot_path.exists():
-        try:
-            from jax.experimental import serialize_executable as se
-
-            with open(aot_path, "rb") as f:
-                payload, in_tree, out_tree = pickle.load(f)
-            aot_compiled = se.deserialize_and_load(payload, in_tree, out_tree)
-
-            def run_fused_aot():
-                return aot_compiled(index, qbf_dev, nvalid_arr)
-
-            run_search = run_fused_aot
-            kernel_impl = "pallas_fused_aot"
-            log("fused kernel loaded from AOT payload (no compile)")
-        except Exception as exc:  # noqa: BLE001 — fall back to compiling
-            log(f"AOT load failed ({exc}); compiling normally")
-
     # compile watchdog: the shared pool's remote compile takes 10s-10min;
-    # if the fused kernel doesn't come up within the window, fall back to
-    # the XLA scan so the driver always gets its JSON line. The compile
-    # thread keeps running; if it finishes in time we still use it.
-    # NOTE (2026-08-17): the plain-bf16 Q=32 kernel's compile never
-    # persists to the local compile cache through this tunnel (the
-    # masked/int8/Q=512 variants cache fine — repeatedly verified), so
-    # every bench process pays a fresh 95-320s Mosaic compile for the
-    # headline depending on pool load. 600s covers the worst observed;
-    # the XLA fallback still guarantees the JSON line.
+    # the plain-bf16 Q=32 shape never persists in XLA's own compile cache
+    # through this tunnel (CLAUDE.md QUIRK) — but the ops.aot executable
+    # payload does, so only the FIRST process pays the Mosaic compile.
     compile_timeout = float(os.environ.get("ARAG_BENCH_COMPILE_TIMEOUT", 600.0))
     warm: dict = {}
 
     def _warm():
         try:
             v, i = run_search()
-            warm["out"] = (v, i)
             _ = np.asarray(v)
+            warm["out"] = (v, i)
             warm["ok"] = True
         except Exception as exc:  # noqa: BLE001 — fall back, don't die
             warm["err"] = exc
@@ -173,130 +239,146 @@ def main() -> None:
     wt = threading.Thread(target=_warm, daemon=True)
     wt.start()
     wt.join(compile_timeout if on_tpu else None)
-    if not warm.get("ok"):
+    vals = ids = None
+    if warm.get("ok"):
+        vals, ids = warm["out"]
+    else:
         if "err" in warm:
+            if _is_oom(warm["err"]):
+                raise _Oom(str(warm["err"])[:300])
             log(f"fused kernel failed ({warm['err']}); using the XLA scan")
+            errors.append(f"fused: {str(warm['err'])[:200]}")
         else:
             log(f"fused kernel not compiled after {compile_timeout:.0f}s; "
                 "using the XLA scan for the headline")
+            errors.append(f"fused: compile watchdog {compile_timeout:.0f}s")
         kernel_impl = "xla_fallback"
         run_search = run_xla
-        vals, ids = run_search()
-        _ = np.asarray(vals)
-    else:
-        vals, ids = warm["out"]
+        try:
+            vals, ids = run_search()
+            _ = np.asarray(vals)
+        except Exception as exc:  # noqa: BLE001
+            if _is_oom(exc):
+                raise _Oom(str(exc)[:300]) from exc
+            errors.append(f"xla_fallback: {str(exc)[:200]}")
+            kernel_impl = "none"
+            run_search = None
+    result["kernel"] = kernel_impl
     log(f"search kernel ready ({kernel_impl})")
 
-    if on_tpu and kernel_impl == "pallas_fused" and not aot_path.exists():
-        # persist the compiled executable for the next process (the jit
-        # cache makes this lower+compile cheap now that it's warm)
-        try:
-            from jax.experimental import serialize_executable as se
-
-            from arxiv_rag_tpu.ops.pallas_topk import _fused_topk_jit
-
-            comp = _fused_topk_jit.lower(
-                jax.ShapeDtypeStruct(index.shape, jnp.bfloat16),
-                jax.ShapeDtypeStruct((q_batch, dim), jnp.bfloat16),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-                k=k, block_rows=BLOCK_ROWS, interpret=False,
-            ).compile()
-            with open(aot_path, "wb") as f:
-                pickle.dump(se.serialize(comp), f)
-            log(f"AOT payload saved -> {aot_path}")
-        except Exception as exc:  # noqa: BLE001
-            log(f"AOT save failed: {exc}")
-
-    # timing: result FETCH per iteration. block_until_ready through the
-    # remote-device tunnel returns before execution completes (measured:
-    # a 3 GB reduction "finishing" at 40 TB/s); fetching the (tiny)
-    # result array forces a true roundtrip and is the only honest clock
-    # in this environment.
+    # --- headline timing: result FETCH per iteration (honest clock) ---------
     iters = 10 if on_tpu else 3
-    lat = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        vals, ids = run_search()
-        _ = np.asarray(vals)
-        lat.append(time.perf_counter() - t0)
-    tpu_s = sorted(lat)[len(lat) // 2]  # median fetched latency
-    qps = q_batch / tpu_s
-    gbps = n_rows * dim * (2 if on_tpu else 4) / tpu_s / 1e9
-    log(f"timed search (fetched): {tpu_s*1e3:.2f} ms/batch -> {qps:.1f} qps, {gbps:.0f} GB/s index stream")
-    # achievable-bandwidth reference: best of (a) a 1-pass reduction and
-    # (b) an MXU-driven ones-matmul with the kernel's own access pattern.
-    # Round 1 used only (a), which measured BELOW the kernel's streaming
-    # rate (57 vs 75 GB/s — a ">100% of speed-of-light" absurdity); the
-    # matmul reference reads the index the way the kernel does.
-    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    ones8 = jnp.ones((dim, 8), index.dtype)
-    mm = jax.jit(
-        lambda x, o: jnp.sum(
-            jax.lax.dot_general(
-                x, o, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    qps = 0.0
+    gbps = 0.0
+    if run_search is not None:
+        try:
+            lat = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                vals, ids = run_search()
+                _ = np.asarray(vals)
+                lat.append(time.perf_counter() - t0)
+            tpu_s = sorted(lat)[len(lat) // 2]  # median fetched latency
+            qps = q_batch / tpu_s
+            gbps = n_rows * dim * (2 if on_tpu else 4) / tpu_s / 1e9
+            result["value"] = round(qps, 2)
+            log(f"timed search (fetched): {tpu_s*1e3:.2f} ms/batch -> "
+                f"{qps:.1f} qps, {gbps:.0f} GB/s index stream")
+        except Exception as exc:  # noqa: BLE001
+            if _is_oom(exc):
+                raise _Oom(str(exc)[:300]) from exc
+            errors.append(f"headline timing: {str(exc)[:200]}")
+
+    # recall vs the slice-merged fp32 oracle
+    if ids is not None:
+        try:
+            recall = recall_at_k(
+                np.asarray(ids), oi, ov, tie_tol=5e-3,
+                candidate_scores=np.asarray(vals, np.float32),
             )
-        )
-    )
+            result["recall_at_10"] = round(float(recall), 4)
+            log(f"fp32 oracle recall@{k} = {recall:.4f}")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"recall: {str(exc)[:200]}")
+
+    # achievable-bandwidth reference: best of a 1-pass reduction and an
+    # MXU-driven ones-matmul with the kernel's own access pattern.
     sol_gbps = 0.0
     sol_amort_gbps = 0.0
-    for name, fn in (("reduce", lambda: red(index)), ("ones-matmul", lambda: mm(index, ones8))):
-        _ = np.asarray(fn())
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+    try:
+        red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+        ones8 = jnp.ones((dim, 8), index.dtype)
+        mm = jax.jit(
+            lambda x, o: jnp.sum(
+                jax.lax.dot_general(
+                    x, o, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        )
+        for name, fn in (("reduce", lambda: red(index)),
+                         ("ones-matmul", lambda: mm(index, ones8))):
             _ = np.asarray(fn())
-            ts.append(time.perf_counter() - t0)
-        g = index.shape[0] * dim * (2 if on_tpu else 4) / sorted(ts)[1] / 1e9
-        # amortized: 6 dispatches, one fetch — removes the ~30 ms tunnel
-        # RTT that pollutes the per-call number (round-3 finding)
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(6)]
-        _ = np.asarray(outs[-1])
-        ga = 6 * index.shape[0] * dim * (2 if on_tpu else 4) / (time.perf_counter() - t0) / 1e9
-        log(f"pure-read reference ({name}): {g:.0f} GB/s fetched, {ga:.0f} GB/s amortized")
-        sol_gbps = max(sol_gbps, g)
-        sol_amort_gbps = max(sol_amort_gbps, ga)
-    frac_sol = min(1.0, gbps / max(sol_gbps, 1e-9))
-    log(f"kernel at {100*gbps/max(sol_gbps,1e-9):.0f}% of measured read bandwidth (fetched basis)")
-
-    # Q=32 pipelined: dispatch 6 batches, one fetch each at the end. The
-    # single-call number above includes a full tunnel RTT (~30 ms) per
-    # batch — at Q=32 that RTT, not the device, is the dominant term
-    # (round-3 finding, tools/profile_int8.py), so the pipelined figure
-    # is the device's actual scan throughput.
-    q32_piped_qps = 0.0
-    frac_sol_dev = 0.0
-    if on_tpu and kernel_impl.startswith("pallas_fused"):
-        t0 = time.perf_counter()
-        outs = [run_search() for _ in range(6)]
-        _ = np.asarray(outs[-1][0])  # in-order stream: last bounds all
-        q32_piped_qps = 6 * q_batch / (time.perf_counter() - t0)
-        dev_gbps = n_rows * dim * 2 * q32_piped_qps / q_batch / 1e9
-        frac_sol_dev = min(1.0, dev_gbps / max(sol_amort_gbps, 1e-9))
-        log(f"search @Q=32 pipelined x6: {q32_piped_qps:.1f} qps "
-            f"({dev_gbps:.0f} GB/s = {100 * frac_sol_dev:.0f}% of amortized read BW)")
-
-    # --- serving throughput at a large query batch: q-tiled fused kernel
-    # vs XLA's fused matmul+reduce (round 1: XLA won ~2x here because the
-    # single-level kernel's row block shrank with Q) ------------------------
-    q512_qps = 0.0
-    q512_fused_qps = 0.0
-    q512_piped_qps = 0.0
-    q512 = None
-    if on_tpu:
-        q512 = make_normal(jax.random.PRNGKey(7), 512)
-        f512 = jax.jit(lambda i, qq: flat_search(i, qq, k))
-        _ = np.asarray(f512(index, q512)[0])
-        lat512 = []
-        for _ in range(5):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn())
+                ts.append(time.perf_counter() - t0)
+            g = index.shape[0] * dim * (2 if on_tpu else 4) / sorted(ts)[1] / 1e9
+            # amortized: 6 dispatches, one fetch — removes the ~30 ms
+            # tunnel RTT that pollutes the per-call number
             t0 = time.perf_counter()
-            _ = np.asarray(f512(index, q512)[0])
-            lat512.append(time.perf_counter() - t0)
-        q512_qps = 512 / sorted(lat512)[len(lat512) // 2]
-        log(f"serving throughput @Q=512 (xla): {q512_qps:.0f} qps")
+            outs = [fn() for _ in range(6)]
+            _ = np.asarray(outs[-1])
+            ga = 6 * index.shape[0] * dim * (2 if on_tpu else 4) / (
+                time.perf_counter() - t0) / 1e9
+            log(f"pure-read reference ({name}): {g:.0f} GB/s fetched, "
+                f"{ga:.0f} GB/s amortized")
+            sol_gbps = max(sol_gbps, g)
+            sol_amort_gbps = max(sol_amort_gbps, ga)
+        frac_sol = min(1.0, gbps / max(sol_gbps, 1e-9))
+        result["fraction_of_read_bw"] = round(float(frac_sol), 3)
+        result["read_bw_amortized_gbps"] = round(float(sol_amort_gbps), 1)
+        log(f"kernel at {100*frac_sol:.0f}% of measured read bandwidth (fetched basis)")
+    except Exception as exc:  # noqa: BLE001
+        errors.append(f"read-bw probe: {str(exc)[:200]}")
+
+    # Q=32 pipelined: dispatch 6 batches, one fetch at the end — the
+    # device's actual scan throughput (the single-call number above
+    # carries a full ~30 ms tunnel RTT per batch).
+    if on_tpu and kernel_impl.startswith("pallas_fused"):
         try:
-            # auto tiling (q_block=128 / block_rows=2048 at this shape);
-            # forcing BLOCK_ROWS=4096 here would shrink the query tile
+            t0 = time.perf_counter()
+            outs = [run_search() for _ in range(6)]
+            _ = np.asarray(outs[-1][0])  # in-order stream: last bounds all
+            q32_piped_qps = 6 * q_batch / (time.perf_counter() - t0)
+            dev_gbps = n_rows * dim * 2 * q32_piped_qps / q_batch / 1e9
+            frac_sol_dev = min(1.0, dev_gbps / max(sol_amort_gbps, 1e-9))
+            result["qps_at_q32_pipelined"] = round(q32_piped_qps, 1)
+            result["fraction_of_read_bw_device"] = round(float(frac_sol_dev), 3)
+            log(f"search @Q=32 pipelined x6: {q32_piped_qps:.1f} qps "
+                f"({dev_gbps:.0f} GB/s = {100 * frac_sol_dev:.0f}% of amortized read BW)")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"q32 pipelined: {str(exc)[:200]}")
+
+    # --- serving throughput at a large query batch --------------------------
+    q512 = None
+    if on_tpu and not past_deadline("Q=512 phases"):
+        try:
+            q512 = make_normal(jax.random.PRNGKey(7), 512)
+            f512 = jax.jit(lambda i, qq: flat_search(i, qq, k))
+            _ = np.asarray(f512(index, q512)[0])
+            lat512 = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _ = np.asarray(f512(index, q512)[0])
+                lat512.append(time.perf_counter() - t0)
+            result["qps_at_q512_xla"] = round(512 / sorted(lat512)[len(lat512) // 2], 1)
+            log(f"serving throughput @Q=512 (xla): {result['qps_at_q512_xla']:.0f} qps")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"q512 xla: {str(exc)[:200]}")
+        try:
+            # auto tiling (the kernel picks its own block/tile at Q=512)
             q512b = q512.astype(jnp.bfloat16)
             _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows)[0])
             latf = []
@@ -304,96 +386,46 @@ def main() -> None:
                 t0 = time.perf_counter()
                 _ = np.asarray(fused_topk(index, q512b, k, n_valid=n_rows)[0])
                 latf.append(time.perf_counter() - t0)
-            q512_fused_qps = 512 / sorted(latf)[len(latf) // 2]
-            log(f"serving throughput @Q=512 (fused, q-tiled): {q512_fused_qps:.0f} qps")
-            # pipelined: dispatch K batches, fetch all — the production
-            # number (the micro-batcher dispatches window t+1 while
-            # window t's results are in flight; through the tunnel the
-            # per-call fetch RTT otherwise dominates)
+            result["qps_at_q512_fused"] = round(512 / sorted(latf)[len(latf) // 2], 1)
+            log(f"serving throughput @Q=512 (fused, q-tiled): "
+                f"{result['qps_at_q512_fused']:.0f} qps")
+            # pipelined: dispatch K batches, fetch last — the production
+            # number (the micro-batcher pipelines the same way)
             t0 = time.perf_counter()
             outs = [fused_topk(index, q512b, k, n_valid=n_rows) for _ in range(6)]
-            _ = np.asarray(outs[-1][0])  # fetch last only (6 fetches = 6 RTTs)
-            q512_piped_qps = 6 * 512 / (time.perf_counter() - t0)
+            _ = np.asarray(outs[-1][0])
+            result["qps_at_q512_fused_pipelined"] = round(
+                6 * 512 / (time.perf_counter() - t0), 1)
             log(f"serving throughput @Q=512 (fused, pipelined x6): "
-                f"{q512_piped_qps:.0f} qps")
+                f"{result['qps_at_q512_fused_pipelined']:.0f} qps")
         except Exception as exc:  # noqa: BLE001
-            log(f"fused @Q=512 failed: {exc}")
+            errors.append(f"q512 fused: {str(exc)[:200]}")
 
-    # --- recall oracle: on-device fp32 exact scan ----------------------------
-    ov_dev, oi_dev = jax.jit(
-        lambda idx, q: flat_search(idx, q, k)
-    )(index_f32, queries_dev)
-    ov, oi = np.asarray(ov_dev), np.asarray(oi_dev)
-    recall = recall_at_k(
-        np.asarray(ids), oi, ov, tie_tol=5e-3,
-        candidate_scores=np.asarray(vals, np.float32),
-    )
-    log(f"device fp32 oracle recall@{k} = {recall:.4f}")
-
-    deadline = float(os.environ.get("ARAG_BENCH_DEADLINE", 700.0))
-
-    def past_deadline(phase: str) -> bool:
-        if time.perf_counter() - T0 > deadline:
-            log(f"soft deadline ({deadline:.0f}s) hit; skipping {phase} "
-                "(remote compiles on the shared pool vary 2-10 min)")
-            return True
-        return False
-
-    # --- masked (category-filtered) fused variant (BASELINE configs[4]) ------
-    # synthetic 8-category masks; recall vs the masked fp32 oracle. Round 1
-    # never ran the masked kernels compiled on hardware.
-    masked_qps = 0.0
-    masked_recall = 0.0
-    masked_q512_qps = 0.0
-    int8m_q512_qps = 0.0
-    int8_q512_qps = 0.0
-    int8_q512_piped_qps = 0.0
-    row_masks_dev = None
-    qmask_dev = None
+    # --- masked (category-filtered) fused variant (BASELINE configs[4]) -----
     if on_tpu and not past_deadline("masked variant"):
         from arxiv_rag_tpu.ops.pallas_topk import fused_topk_masked
-        from arxiv_rag_tpu.ops.topk import masked_flat_search
 
-        kmask = jax.random.PRNGKey(3)
-        row_masks_dev = (
-            1 << jax.random.randint(kmask, (index.shape[0],), 0, 8)
-        ).astype(jnp.int32)
-        want = 0b00000111  # 3 of 8 categories eligible (~37% of rows)
-        qmask_dev = jnp.full((q_batch,), want, jnp.int32)
-        # masked fp32 oracle FIRST (XLA scan, reliable): both masked
-        # phases score against it, so it must exist even if the fused
-        # kernel below fails (round-2 bug: a fused failure left momi
-        # undefined and the int8+masked phase died on the NameError)
-        momv, momi = jax.jit(
-            lambda x, rm, qm, q: masked_flat_search(x, rm, qm, q, k)
-        )(
-            index_f32,
-            row_masks_dev[:n_rows].astype(jnp.uint32),
-            qmask_dev.astype(jnp.uint32),
-            queries_dev,
-        )
-        momv, momi = np.asarray(momv), np.asarray(momi)
         try:
             mv, mi = fused_topk_masked(index, row_masks_dev, qmask_dev,
-                                       queries_dev.astype(jnp.bfloat16), k,
+                                       qbf_dev, k,
                                        n_valid=n_rows, block_rows=BLOCK_ROWS)
             _ = np.asarray(mv)
             latm = []
             for _ in range(iters):
                 t0 = time.perf_counter()
                 mv, mi = fused_topk_masked(index, row_masks_dev, qmask_dev,
-                                           queries_dev.astype(jnp.bfloat16), k,
+                                           qbf_dev, k,
                                            n_valid=n_rows, block_rows=BLOCK_ROWS)
                 _ = np.asarray(mv)
                 latm.append(time.perf_counter() - t0)
-            masked_qps = q_batch / sorted(latm)[len(latm) // 2]
+            result["masked_qps"] = round(q_batch / sorted(latm)[len(latm) // 2], 2)
             masked_recall = recall_at_k(
                 np.asarray(mi), momi, momv, tie_tol=5e-3,
                 candidate_scores=np.asarray(mv, np.float32),
             )
-            log(f"masked fused: {masked_qps:.1f} qps, recall@{k} = {masked_recall:.4f}")
-            # serving shape: masked @Q=512 (round-2 weak #2 — the bench
-            # never isolated the masked kernel at serving batch)
+            result["masked_recall_at_10"] = round(float(masked_recall), 4)
+            log(f"masked fused: {result['masked_qps']:.1f} qps, "
+                f"recall@{k} = {masked_recall:.4f}")
             if q512 is not None and not past_deadline("masked @Q=512"):
                 q512b = q512.astype(jnp.bfloat16)
                 qmask512 = jnp.full((512,), want, jnp.int32)
@@ -405,57 +437,43 @@ def main() -> None:
                     _ = np.asarray(fused_topk_masked(
                         index, row_masks_dev, qmask512, q512b, k, n_valid=n_rows)[0])
                     latm5.append(time.perf_counter() - t0)
-                masked_q512_qps = 512 / sorted(latm5)[len(latm5) // 2]
-                log(f"masked fused @Q=512: {masked_q512_qps:.0f} qps")
+                result["qps_at_q512_masked"] = round(
+                    512 / sorted(latm5)[len(latm5) // 2], 1)
+                log(f"masked fused @Q=512: {result['qps_at_q512_masked']:.0f} qps")
         except Exception as exc:  # noqa: BLE001
+            errors.append(f"masked: {str(exc)[:200]}")
             log(f"masked fused failed: {exc}")
 
-    # --- int8 index variant (BASELINE configs[4]): half the bytes -------------
-    # quantize in row slices (a whole-matrix quantize temporarily doubles
-    # the fp32 footprint -> HBM OOM next to the bf16 copy), then free fp32
-    int8_qps = 0.0
-    int8_recall = 0.0
-    int8m_qps = 0.0
-    int8m_recall = 0.0
+    # --- int8 index variant (BASELINE configs[4]): half the bytes -----------
+    # (i8_vals/i8_scales were quantized slice-wise from fp32 during setup)
     if on_tpu and not past_deadline("int8 variant"):
         from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8
-        from arxiv_rag_tpu.ops.quant import quantize_int8
 
-        slices_v, slices_s = [], []
-        step = max(1, n_rows // 8)
-        for s in range(0, n_rows, step):
-            v, sc = quantize_int8(index_f32[s : s + step])
-            slices_v.append(v)
-            slices_s.append(sc)
-        i8_vals = jnp.concatenate(slices_v, axis=0)
-        i8_scales = jnp.concatenate(slices_s, axis=0)
-        if pad:
-            i8_vals = jnp.pad(i8_vals, ((0, pad), (0, 0)))
-            i8_scales = jnp.pad(i8_scales, (0, pad))
-        del slices_v, slices_s
-        index_f32.delete()  # fp32 no longer needed; free 4 bytes/elt of HBM
-        iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k,
-                                 n_valid=n_rows, block_rows=BLOCK_ROWS)
-        _ = np.asarray(iv)
-        lat8 = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
+        try:
             iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k,
                                      n_valid=n_rows, block_rows=BLOCK_ROWS)
             _ = np.asarray(iv)
-            lat8.append(time.perf_counter() - t0)
-        int8_s = sorted(lat8)[len(lat8) // 2]
-        int8_qps = q_batch / int8_s
-        log(f"int8 search (fetched): {int8_s*1e3:.2f} ms/batch -> {int8_qps:.1f} qps")
-        int8_recall = recall_at_k(
-            np.asarray(ii), oi, ov, tie_tol=2e-2,
-            candidate_scores=np.asarray(iv, np.float32),
-        )
-        log(f"int8 recall@{k} = {int8_recall:.4f}")
+            lat8 = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                iv, ii = fused_topk_int8(i8_vals, i8_scales, queries_dev, k,
+                                         n_valid=n_rows, block_rows=BLOCK_ROWS)
+                _ = np.asarray(iv)
+                lat8.append(time.perf_counter() - t0)
+            int8_s = sorted(lat8)[len(lat8) // 2]
+            result["int8_qps"] = round(q_batch / int8_s, 2)
+            log(f"int8 search (fetched): {int8_s*1e3:.2f} ms/batch -> "
+                f"{result['int8_qps']:.1f} qps")
+            int8_recall = recall_at_k(
+                np.asarray(ii), oi, ov, tie_tol=2e-2,
+                candidate_scores=np.asarray(iv, np.float32),
+            )
+            result["int8_recall_at_10"] = round(float(int8_recall), 4)
+            log(f"int8 recall@{k} = {int8_recall:.4f}")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"int8: {str(exc)[:200]}")
+            log(f"int8 failed: {exc}")
 
-        # serving shape: int8 @Q=512 — the service's hot configuration
-        # (int8 index, large coalesced windows) finally isolated in the
-        # bench (round-2 weak #2)
         if q512 is not None and not past_deadline("int8 @Q=512"):
             try:
                 _ = np.asarray(fused_topk_int8(
@@ -466,19 +484,23 @@ def main() -> None:
                     _ = np.asarray(fused_topk_int8(
                         i8_vals, i8_scales, q512, k, n_valid=n_rows)[0])
                     lat85.append(time.perf_counter() - t0)
-                int8_q512_qps = 512 / sorted(lat85)[len(lat85) // 2]
-                log(f"int8 fused @Q=512: {int8_q512_qps:.0f} qps")
+                result["qps_at_q512_int8"] = round(
+                    512 / sorted(lat85)[len(lat85) // 2], 1)
+                log(f"int8 fused @Q=512: {result['qps_at_q512_int8']:.0f} qps")
                 t0 = time.perf_counter()
                 outs = [fused_topk_int8(i8_vals, i8_scales, q512, k,
                                         n_valid=n_rows) for _ in range(6)]
                 _ = np.asarray(outs[-1][0])
-                int8_q512_piped_qps = 6 * 512 / (time.perf_counter() - t0)
-                log(f"int8 fused @Q=512 pipelined x6: {int8_q512_piped_qps:.0f} qps")
+                result["qps_at_q512_int8_pipelined"] = round(
+                    6 * 512 / (time.perf_counter() - t0), 1)
+                log(f"int8 fused @Q=512 pipelined x6: "
+                    f"{result['qps_at_q512_int8_pipelined']:.0f} qps")
             except Exception as exc:  # noqa: BLE001
+                errors.append(f"int8 q512: {str(exc)[:200]}")
                 log(f"int8 @Q=512 failed: {exc}")
 
-        # --- int8 + masked: the full production layout in one kernel ------
-        if row_masks_dev is not None and not past_deadline("int8+masked variant"):
+        # --- int8 + masked: the full production layout in one kernel ----
+        if not past_deadline("int8+masked variant"):
             from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8_masked
 
             try:
@@ -496,14 +518,15 @@ def main() -> None:
                     )
                     _ = np.asarray(imv)
                     lat8m.append(time.perf_counter() - t0)
-                int8m_qps = q_batch / sorted(lat8m)[len(lat8m) // 2]
+                result["int8_masked_qps"] = round(
+                    q_batch / sorted(lat8m)[len(lat8m) // 2], 2)
                 int8m_recall = recall_at_k(
-                    np.asarray(imi), np.asarray(momi), np.asarray(momv),
+                    np.asarray(imi), momi, momv,
                     tie_tol=2e-2, candidate_scores=np.asarray(imv, np.float32),
                 )
-                log(f"int8+masked fused: {int8m_qps:.1f} qps, "
+                result["int8_masked_recall_at_10"] = round(float(int8m_recall), 4)
+                log(f"int8+masked fused: {result['int8_masked_qps']:.1f} qps, "
                     f"recall@{k} = {int8m_recall:.4f}")
-                # category-filtered serving shape (int8 + masks @Q=512)
                 if q512 is not None and not past_deadline("int8+masked @Q=512"):
                     qmask512 = jnp.full((512,), want, jnp.int32)
                     _ = np.asarray(fused_topk_int8_masked(
@@ -516,74 +539,85 @@ def main() -> None:
                             i8_vals, i8_scales, row_masks_dev, qmask512, q512,
                             k, n_valid=n_rows)[0])
                         lat8m5.append(time.perf_counter() - t0)
-                    int8m_q512_qps = 512 / sorted(lat8m5)[len(lat8m5) // 2]
-                    log(f"int8+masked fused @Q=512: {int8m_q512_qps:.0f} qps")
+                    result["qps_at_q512_int8_masked"] = round(
+                        512 / sorted(lat8m5)[len(lat8m5) // 2], 1)
+                    log(f"int8+masked fused @Q=512: "
+                        f"{result['qps_at_q512_int8_masked']:.0f} qps")
             except Exception as exc:  # noqa: BLE001
+                errors.append(f"int8+masked: {str(exc)[:200]}")
                 log(f"int8+masked fused failed: {exc}")
 
-    # --- CPU baseline: timed synchronously on the idle host. Best of 3
-    # runs — a single run is hostage to transient load on this 1-core
-    # host and has produced 0.28-1.8 qps for the same work across rounds
-    cpu_thread.join()
-    host_slice, host_q = cpu_result["host_slice"], cpu_result["host_q"]
-    cpu_slice_s = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        hv, hi = cosine_topk_numpy(host_slice, host_q, k)
-        cpu_slice_s = min(cpu_slice_s, time.perf_counter() - t0)
-    cpu_qps = q_batch / (cpu_slice_s * (n_rows / cpu_rows))
-    log(f"cpu scan {cpu_rows} rows: best {cpu_slice_s:.2f}s -> scaled {cpu_qps:.2f} qps @{n_rows}")
+    # --- CPU baseline: timed synchronously on the idle host. Best of 3 ------
+    try:
+        cpu_thread.join()
+        host_slice, host_q = cpu_result["host_slice"], cpu_result["host_q"]
+        cpu_slice_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hv, hi = cosine_topk_numpy(host_slice, host_q, k)
+            cpu_slice_s = min(cpu_slice_s, time.perf_counter() - t0)
+        cpu_qps = q_batch / (cpu_slice_s * (n_rows / cpu_rows))
+        result["cpu_exact_qps_scaled"] = round(cpu_qps, 3)
+        if qps:
+            result["vs_baseline"] = round(qps / cpu_qps, 2)
+        log(f"cpu scan {cpu_rows} rows: best {cpu_slice_s:.2f}s -> "
+            f"scaled {cpu_qps:.2f} qps @{n_rows}")
 
-    # host numpy cross-check of the device oracle on the same slice
-    xcheck = -1.0
-    if not past_deadline("host/device oracle cross-check"):
-        sv_dev, si_dev = jax.jit(lambda idx, q: flat_search(idx, q, k))(
-            jnp.asarray(host_slice), jnp.asarray(host_q)
-        )
-        xcheck = recall_at_k(np.asarray(si_dev), hi, hv, tie_tol=5e-3,
-                             candidate_scores=np.asarray(sv_dev, np.float32))
-        log(f"host/device oracle cross-check recall = {xcheck:.4f}")
+        # host numpy cross-check of the device oracle on the same slice
+        if not past_deadline("host/device oracle cross-check"):
+            sv_dev, si_dev = jax.jit(lambda idx, q: flat_search(idx, q, k))(
+                jnp.asarray(host_slice), jnp.asarray(host_q)
+            )
+            xcheck = recall_at_k(np.asarray(si_dev), hi, hv, tie_tol=5e-3,
+                                 candidate_scores=np.asarray(sv_dev, np.float32))
+            result["oracle_xcheck"] = round(float(xcheck), 4)
+            log(f"host/device oracle cross-check recall = {xcheck:.4f}")
+    except Exception as exc:  # noqa: BLE001
+        errors.append(f"cpu baseline: {str(exc)[:200]}")
 
-    # --- encoder throughput ---------------------------------------------------
+    # --- encoder throughput -------------------------------------------------
     chunks_per_s = 0.0
-    encoder_mfu = 0.0
+    out = None
+    cfg = params = ids_in = mask_in = None
+    enc_batch = seq = enc_iters = 0
     if os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1" and not past_deadline("encoder"):
-        cfg = ModelConfig()
-        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-        enc_batch, seq = (512, 128) if on_tpu else (16, 64)
-        ids_in = jnp.asarray(
-            np.random.default_rng(1).integers(4, cfg.vocab_size, (enc_batch, seq)),
-            jnp.int32,
-        )
-        mask_in = jnp.ones((enc_batch, seq), jnp.int32)
-        enc_fn = jax.jit(lambda p, i, m: encode(p, i, m, cfg, compute_dtype=jnp.bfloat16))
-        _ = np.asarray(enc_fn(params, ids_in, mask_in))
-        log("encoder compiled")
-        enc_iters = 5 if on_tpu else 2
-        t0 = time.perf_counter()
-        for _ in range(enc_iters):
-            out = enc_fn(params, ids_in, mask_in)
-            _ = np.asarray(out)  # honest sync (see note above)
-        chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
-        log(f"encoder: {chunks_per_s:.1f} chunks/s")
-        # MFU: model FLOPs over the chip's bf16 peak — tracked so future
-        # libtpu/XLA flips show up against the measured "XLA-lowering-
-        # limited" ceiling (round-2 weak #7). Per token per layer:
-        # 8h^2 (QKV+out) + 4*seq*h (scores+apply) + 4*h*ff (FFN) FLOPs.
-        L, h, ff = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
-        flops_per_token = L * (8 * h * h + 4 * seq * h + 4 * h * ff)
-        peak = float(os.environ.get("ARAG_TPU_PEAK_TFLOPS", 197.0)) * 1e12
-        encoder_mfu = chunks_per_s * seq * flops_per_token / peak
-        log(f"encoder MFU: {100 * encoder_mfu:.1f}% of {peak / 1e12:.0f} TF/s peak "
-            f"({chunks_per_s * seq * flops_per_token / 1e12:.1f} TF/s)")
+        try:
+            cfg = ModelConfig()
+            params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+            enc_batch, seq = (512, 128) if on_tpu else (16, 64)
+            ids_in = jnp.asarray(
+                np.random.default_rng(1).integers(4, cfg.vocab_size, (enc_batch, seq)),
+                jnp.int32,
+            )
+            mask_in = jnp.ones((enc_batch, seq), jnp.int32)
+            enc_fn = jax.jit(
+                lambda p, i, m: encode(p, i, m, cfg, compute_dtype=jnp.bfloat16))
+            _ = np.asarray(enc_fn(params, ids_in, mask_in))
+            log("encoder compiled")
+            enc_iters = 5 if on_tpu else 2
+            t0 = time.perf_counter()
+            for _ in range(enc_iters):
+                out = enc_fn(params, ids_in, mask_in)
+                _ = np.asarray(out)  # honest sync
+            chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
+            result["embed_chunks_per_sec"] = round(chunks_per_s, 1)
+            log(f"encoder: {chunks_per_s:.1f} chunks/s")
+            # MFU vs the chip's bf16 peak — tracked so libtpu/XLA flips
+            # show up against the measured XLA-lowering-limited ceiling
+            L, h, ff = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+            flops_per_token = L * (8 * h * h + 4 * seq * h + 4 * h * ff)
+            peak = float(os.environ.get("ARAG_TPU_PEAK_TFLOPS", 197.0)) * 1e12
+            encoder_mfu = chunks_per_s * seq * flops_per_token / peak
+            result["encoder_mfu"] = round(float(encoder_mfu), 4)
+            log(f"encoder MFU: {100 * encoder_mfu:.1f}% of {peak / 1e12:.0f} TF/s peak "
+                f"({chunks_per_s * seq * flops_per_token / 1e12:.1f} TF/s)")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"encoder: {str(exc)[:200]}")
+            log(f"encoder failed: {exc}")
 
-    # --- W8A8 encoder via the Pallas s8s8 MXU kernel (ops/pallas_matmul.py):
-    # v5e runs int8 matmuls at 2x the bf16 MAC rate, and the encoder is
-    # MXU-limited; XLA's int8 lowering measured neutral (CLAUDE.md), so
-    # measure the forced-int8-path kernel against the bf16 number above
-    w8a8_chunks_per_s = 0.0
-    w8a8_cos = 0.0
-    if (on_tpu and chunks_per_s > 0
+    # --- W8A8 encoder via the Pallas s8s8 MXU kernel (measured negative in
+    # round 2; kept deadline-gated so a future libtpu flip shows up) ---------
+    if (on_tpu and chunks_per_s > 0 and out is not None
             and os.environ.get("ARAG_BENCH_SKIP_W8A8") != "1"
             and not past_deadline("w8a8 encoder")):
         from arxiv_rag_tpu.models import quantize_params_int8
@@ -615,17 +649,17 @@ def main() -> None:
                 t0 = time.perf_counter()
                 for _ in range(enc_iters):
                     _ = np.asarray(qenc_fn(qparams, ids_in, mask_in))
-                w8a8_chunks_per_s = enc_batch * enc_iters / (time.perf_counter() - t0)
-                log(f"w8a8 encoder (pallas): {w8a8_chunks_per_s:.1f} chunks/s, "
+                w8a8 = enc_batch * enc_iters / (time.perf_counter() - t0)
+                result["embed_w8a8_chunks_per_sec"] = round(w8a8, 1)
+                result["w8a8_cos_vs_bf16"] = round(w8a8_cos, 5)
+                log(f"w8a8 encoder (pallas): {w8a8:.1f} chunks/s, "
                     f"cos vs bf16 = {w8a8_cos:.5f}")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"w8a8: {str(exc)[:200]}")
         finally:
             os.environ.pop("ARAG_W8A8_PALLAS", None)
 
-    # --- CPU encoder baseline: the reference's actual stack (torch CPU
-    # workers, generate_embeddings_parallel.py:40-74) — evidences the
-    # BASELINE ">10x CPU embedding throughput" target with a measured
-    # number instead of an assumption
-    cpu_chunks_per_s = 0.0
+    # --- CPU encoder baseline: the reference's actual stack (torch CPU) -----
     if (os.environ.get("ARAG_BENCH_SKIP_ENCODER") != "1"
             and not past_deadline("cpu encoder baseline")):
         try:
@@ -645,50 +679,53 @@ def main() -> None:
                 for _ in range(titers):
                     tm(input_ids=tids, attention_mask=tmask)
                 cpu_chunks_per_s = tb * titers / (time.perf_counter() - t0)
+            result["cpu_encoder_chunks_per_sec"] = round(cpu_chunks_per_s, 2)
+            if chunks_per_s and cpu_chunks_per_s:
+                result["encoder_vs_cpu"] = round(chunks_per_s / cpu_chunks_per_s, 1)
             log(f"cpu encoder (torch, {os.cpu_count()} threads): "
                 f"{cpu_chunks_per_s:.2f} chunks/s")
         except Exception as exc:  # noqa: BLE001
+            errors.append(f"cpu encoder: {str(exc)[:200]}")
             log(f"cpu encoder baseline failed: {exc}")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"flat_scan_qps_per_chip_{n_rows}x{dim}_bf16_recall_parity",
-                "value": round(qps, 2),
-                "unit": "qps",
-                "vs_baseline": round(qps / cpu_qps, 2),
-                "recall_at_10": round(float(recall), 4),
-                "oracle_xcheck": round(float(xcheck), 4),
-                "int8_qps": round(int8_qps, 2),
-                "int8_recall_at_10": round(float(int8_recall), 4),
-                "masked_qps": round(masked_qps, 2),
-                "masked_recall_at_10": round(float(masked_recall), 4),
-                "int8_masked_qps": round(int8m_qps, 2),
-                "int8_masked_recall_at_10": round(float(int8m_recall), 4),
-                "cpu_exact_qps_scaled": round(cpu_qps, 3),
-                "embed_chunks_per_sec": round(chunks_per_s, 1),
-                "embed_w8a8_chunks_per_sec": round(w8a8_chunks_per_s, 1),
-                "w8a8_cos_vs_bf16": round(w8a8_cos, 5),
-                "cpu_encoder_chunks_per_sec": round(cpu_chunks_per_s, 2),
-                "encoder_vs_cpu": round(chunks_per_s / cpu_chunks_per_s, 1)
-                if cpu_chunks_per_s else 0.0,
-                "qps_at_q32_pipelined": round(q32_piped_qps, 1),
-                "qps_at_q512_xla": round(q512_qps, 1),
-                "qps_at_q512_fused": round(q512_fused_qps, 1),
-                "qps_at_q512_fused_pipelined": round(q512_piped_qps, 1),
-                "qps_at_q512_int8": round(int8_q512_qps, 1),
-                "qps_at_q512_int8_pipelined": round(int8_q512_piped_qps, 1),
-                "qps_at_q512_masked": round(masked_q512_qps, 1),
-                "qps_at_q512_int8_masked": round(int8m_q512_qps, 1),
-                "encoder_mfu": round(float(encoder_mfu), 4),
-                "fraction_of_read_bw": round(float(frac_sol), 3),
-                "fraction_of_read_bw_device": round(float(frac_sol_dev), 3),
-                "read_bw_amortized_gbps": round(float(sol_amort_gbps), 1),
-                "kernel": kernel_impl,
-                "backend": jax.default_backend(),
-            }
-        )
-    )
+
+def main() -> None:
+    result: dict = {
+        "metric": "flat_scan_qps_per_chip_bf16_recall_parity",
+        "value": 0.0,
+        "unit": "qps",
+        "vs_baseline": 0.0,
+        "kernel": "none",
+        "backend": "unknown",
+    }
+    errors: list = []
+    try:
+        import jax
+
+        on_tpu_default = 2_000_000
+        try:
+            on_tpu_default = 2_000_000 if jax.default_backend() == "tpu" else 100_000
+        except Exception:  # noqa: BLE001
+            pass
+        n_rows = int(os.environ.get("ARAG_BENCH_ROWS", on_tpu_default))
+        try:
+            run_bench(result, errors, n_rows)
+        except _Oom as exc:
+            # transient co-tenant pressure on the shared pool: free this
+            # attempt's buffers and retry ONCE at half scale, reported
+            errors.append(f"oom@{n_rows}: {exc}")
+            log(f"RESOURCE_EXHAUSTED at {n_rows} rows; retrying at {n_rows // 2}")
+            exc = None
+            gc.collect()
+            result["rows_reduced"] = True
+            run_bench(result, errors, n_rows // 2)
+    except Exception as exc:  # noqa: BLE001 — the JSON line still prints
+        errors.append(f"fatal: {exc!r}"[:300])
+        log(f"fatal: {exc!r}")
+    finally:
+        if errors:
+            result["error"] = "; ".join(str(e) for e in errors)[:1200]
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
