@@ -66,16 +66,20 @@ def _local_scan_xla(shard, queries, row_offset, n_valid, k,
 
 def _pallas_local(shard, q, k, local_valid, block_rows,
                   row_masks=None, query_mask=None, scales=None,
-                  interpret=False):
+                  interpret=False, int8_variant="s8s8"):
     """Invoke the fused kernel inside shard_map with a traced n_valid.
 
     Handles all four variants; shard-local row padding to a block
     multiple pads masks with 0 (ineligible) and scales with 0.
 
-    The int8 path here uses the "row" scoring mode (bf16 compute): the
-    single-chip default moved to "s8s8" in round 3 (+15% at Q=512), but
-    plumbing the per-query scale operand through shard_map is untested
-    on a real multi-chip mesh — switch after an on-hardware parity run.
+    The int8 path defaults to the "s8s8" scoring mode (queries quantized
+    per-row to int8, native s8xs8->s32 MXU matmul at double MAC rate —
+    the single-chip default since round 3, +15% @Q=512). The per-query
+    dequant scale is computed here, inside shard_map, from the
+    replicated query tile, so every chip derives identical scales with
+    no extra operand crossing the shard_map boundary.
+    ``int8_variant="row"`` keeps the bf16-compute path (no query
+    quantization) for A/B parity.
     """
     from arxiv_rag_tpu.ops.pallas_topk import _build_call
 
@@ -90,14 +94,26 @@ def _pallas_local(shard, q, k, local_valid, block_rows,
             scales = jnp.pad(scales, (0, pad))
     use_int8 = scales is not None
     use_mask = row_masks is not None and query_mask is not None
-    call = _build_call(
-        shard.shape[0], d, qn, k, block_rows, shard.dtype,
-        use_mask, use_int8, interpret,
-    )
     nvalid = jnp.reshape(local_valid.astype(jnp.int32), (1, 1))
-    args = [nvalid, q.astype(jnp.bfloat16 if use_int8 else shard.dtype), shard]
-    if use_int8:
-        args.append(scales.reshape(1, -1))
+    if use_int8 and int8_variant == "s8s8":
+        qf = q.astype(jnp.float32)
+        qs = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+        call = _build_call(
+            shard.shape[0], d, qn, k, block_rows, jnp.int8,
+            use_mask, True, interpret, int8_mode="s8s8",
+        )
+        args = [nvalid, q8, shard, scales.reshape(1, -1), qs]
+    else:
+        call = _build_call(
+            shard.shape[0], d, qn, k, block_rows, shard.dtype,
+            use_mask, use_int8, interpret,
+        )
+        args = [nvalid, q.astype(jnp.bfloat16 if use_int8 else shard.dtype),
+                shard]
+        if use_int8:
+            args.append(scales.reshape(1, -1))
     if use_mask:
         args.append(row_masks.reshape(1, -1).astype(jnp.int32))
         args.append(query_mask.reshape(-1, 1).astype(jnp.int32))
@@ -118,6 +134,7 @@ def sharded_topk(
     query_mask: jax.Array | None = None,
     scales: jax.Array | None = None,
     interpret: bool | None = None,
+    int8_variant: str = "s8s8",
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded index. Returns replicated
     (values [Q,k], global ids [Q,k]).
@@ -127,6 +144,13 @@ def sharded_topk(
     filtering; ``scales`` ([N] f32, row-sharded) marks an int8-storage
     index. Every combination runs the fused Pallas kernel when
     ``use_pallas`` (default: on TPU backends).
+
+    ``int8_variant`` ("s8s8" default, matching the single-chip
+    :func:`~arxiv_rag_tpu.ops.pallas_topk.fused_topk_int8` default since
+    round 3) selects the int8 scoring path on the Pallas route; "row"
+    keeps bf16 compute. The XLA fallback always scores in "row" mode
+    (bf16 compute) — scores there may differ from s8s8 by the query
+    quantization error (well under the index's own int8 error).
     """
     total_rows = index_sharded.shape[0]
     if n_valid is None:
@@ -142,8 +166,11 @@ def sharded_topk(
     masked = row_masks is not None and query_mask is not None
     int8 = scales is not None
     qn_real = queries.shape[0]
-    if qn_real % 8:  # sublane-aligned query tiles for the fused kernel
-        pad = (-qn_real) % 8
+    # sublane-aligned query tiles for the fused kernel: int8 (s8s8)
+    # queries need 32-row alignment, bf16/f32 need 8
+    q_align = 32 if (int8 and int8_variant == "s8s8" and use_pallas) else 8
+    if qn_real % q_align:
+        pad = (-qn_real) % q_align
         queries = jnp.pad(queries, ((0, pad), (0, 0)))
         if masked:
             query_mask = jnp.pad(query_mask, (0, pad))  # pad rows ineligible
@@ -168,7 +195,7 @@ def sharded_topk(
             vals, ids = _pallas_local(
                 shard, q, k, local_valid, block_rows,
                 row_masks=rm, query_mask=qm, scales=shard_scales,
-                interpret=interpret,
+                interpret=interpret, int8_variant=int8_variant,
             )
             gids = jnp.where(ids >= 0, ids + offset, -1)
         else:
