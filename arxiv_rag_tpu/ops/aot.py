@@ -9,9 +9,12 @@ tools/aot_fused.py / bench.py round 3). This module generalizes that
 recipe: a keyed get-or-compile around any jitted function, so `arag
 serve --warmup` and bench restarts skip every previously-seen compile.
 
-Keys include shapes, dtypes, static kwargs, the jax version and a
-format revision; any load failure falls back to the plain jit call
-(the payloads are a cache, never a correctness dependency).
+Keys include shapes, dtypes, static kwargs, the jax version, a format
+revision, and a content hash of the jitted function's defining module
+source — editing kernel code invalidates its payloads automatically
+(like XLA's HLO-keyed persistent cache, but without paying a trace per
+call). Any load failure falls back to the plain jit call (the payloads
+are a cache, never a correctness dependency).
 
 Enabled on the TPU backend by default; ``ARAG_AOT=0`` disables,
 ``ARAG_AOT_DIR`` overrides the payload directory (default
@@ -49,8 +52,34 @@ def _cache_dir() -> Path:
     return Path(os.environ.get("ARAG_AOT_DIR", "/tmp/arag_aot"))
 
 
-def _key(name: str, args: tuple, static_kwargs: dict[str, Any]) -> str:
+_SRC_HASH: dict[str, str] = {}
+
+
+def _code_fingerprint(jit_fn) -> str:
+    """Hash of the source file defining the jitted function (memoized
+    per module). A payload keyed without this would silently keep
+    serving OLD compiled code after a kernel edit (advisor r3, medium)."""
+    fn = getattr(jit_fn, "__wrapped__", jit_fn)
+    mod = getattr(fn, "__module__", "") or ""
+    h = _SRC_HASH.get(mod)
+    if h is None:
+        try:
+            import sys
+
+            src_file = getattr(sys.modules[mod], "__file__", None)
+            with open(src_file, "rb") as f:
+                h = hashlib.sha256(f.read()).hexdigest()[:12]
+        except Exception:  # noqa: BLE001 — builtins/REPL: no source to pin
+            h = "nosrc"
+        _SRC_HASH[mod] = h
+    return h
+
+
+def _key(name: str, args: tuple, static_kwargs: dict[str, Any],
+         jit_fn=None) -> str:
     parts = [name, jax.__version__, str(_FORMAT_REV)]
+    if jit_fn is not None:
+        parts.append(_code_fingerprint(jit_fn))
     for a in args:
         parts.append(f"{tuple(a.shape)}:{np.dtype(a.dtype).name}")
     for k in sorted(static_kwargs):
@@ -81,11 +110,27 @@ def _load(key: str) -> Callable | None:
 def _save(key: str, jit_fn, args: tuple, static_kwargs: dict[str, Any]) -> Callable | None:
     """Serialize the (already warm) compiled executable. lower+compile on
     a warm jit reuses the cached executable, so this is cheap."""
+    import time
+
     try:
         from jax.experimental import serialize_executable as se
 
         sds = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+        t0 = time.perf_counter()
         comp = jit_fn.lower(*sds, **static_kwargs).compile()
+        lower_s = time.perf_counter() - t0
+        if lower_s > 5.0:
+            # the warm jit should reuse its cached executable; a slow
+            # lower+compile here means this JAX version re-compiled in
+            # the background thread (advisor r3: perf risk during live
+            # serving for the QUIRK shape) — surface it
+            import logging
+
+            logging.getLogger("arxiv_rag_tpu.ops.aot").warning(
+                "AOT background lower+compile for %s took %.1fs (expected "
+                "sub-second executable reuse; this JAX version may be "
+                "recompiling)", key, lower_s,
+            )
         payload = se.serialize(comp)
         d = _cache_dir()
         d.mkdir(parents=True, exist_ok=True)
@@ -104,7 +149,7 @@ def call(name: str, jit_fn, args: tuple, static_kwargs: dict[str, Any]):
     in-memory executable → disk payload → plain jit call (which compiles
     via XLA's own persistent cache), serializing after the first success
     so the NEXT process skips the compile entirely."""
-    key = _key(name, args, static_kwargs)
+    key = _key(name, args, static_kwargs, jit_fn)
     fn = _MEM.get(key)
     if fn is None:
         with _LOCK:

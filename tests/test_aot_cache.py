@@ -58,13 +58,21 @@ def test_call_correct_and_saves_payload(_clean_state):
     aot._MEM.clear()
     out2 = aot.call("toy", toy, (x,), {"s": 3})
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out))
-    key = aot._key("toy", (x,), {"s": 3})
+    key = aot._key("toy", (x,), {"s": 3}, toy)
     if key in aot._FAILED:  # payload executed and failed → must be gone
         assert not (tmp_path / f"{key}.pkl").exists()
 
 
 def test_key_distinguishes_statics_and_shapes(_clean_state):
     x = jnp.arange(8, dtype=jnp.float32)
+    # code fingerprint: a different defining module changes the key
+    # (editing kernel source must invalidate payloads — advisor r3)
+    assert aot._key("toy", (x,), {"s": 3}, toy) != aot._key(
+        "toy", (x,), {"s": 3}, np.sin
+    )
+    assert aot._key("toy", (x,), {"s": 3}, toy) == aot._key(
+        "toy", (x,), {"s": 3}, toy
+    )
     assert aot._key("toy", (x,), {"s": 3}) != aot._key("toy", (x,), {"s": 4})
     y = jnp.arange(16, dtype=jnp.float32)
     assert aot._key("toy", (x,), {"s": 3}) != aot._key("toy", (y,), {"s": 3})
@@ -78,7 +86,7 @@ def test_key_distinguishes_statics_and_shapes(_clean_state):
 def test_corrupt_payload_falls_back(_clean_state):
     tmp_path = _clean_state
     x = jnp.arange(4, dtype=jnp.float32)
-    key = aot._key("toy", (x,), {"s": 2})
+    key = aot._key("toy", (x,), {"s": 2}, toy)
     (tmp_path / f"{key}.pkl").write_bytes(b"not a pickle")
     out = aot.call("toy", toy, (x,), {"s": 2})
     np.testing.assert_allclose(np.asarray(out), np.arange(4, dtype=np.float32) * 2)
