@@ -524,8 +524,13 @@ def _build_engine(args):
     from arxiv_rag_tpu.index.store import DenseIndex
     from arxiv_rag_tpu.models import ModelConfig, init_params
     from arxiv_rag_tpu.models.convert import load_checkpoint
+    from arxiv_rag_tpu.config import load_config
     from arxiv_rag_tpu.search.engine import SearchEngine
     from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
+
+    # retrieval knobs (rerank truncation/admission, hybrid alpha default)
+    # come from the typed config: defaults <- ARAG__RETRIEVAL__* env
+    rcfg = load_config().retrieval
 
     idx = DenseIndex.load(args.index)
     if getattr(args, "shard", False):
@@ -549,7 +554,22 @@ def _build_engine(args):
     if args.corpus:
         from arxiv_rag_tpu.store.corpus import CorpusReader
 
-        corpus = CorpusReader(args.corpus)
+        # size the lazy-hydration row-group cache so a large corpus fits:
+        # the old fixed 512 MB default churned through eviction at 2M rows
+        # (the serve_bench 366-qps hybrid number needed 2 GB). Default:
+        # 1.5x the on-disk parquet bytes (decompression headroom),
+        # clamped to [512 MB, 4 GB]; --hydration-cache-mb overrides.
+        mb = getattr(args, "hydration_cache_mb", None)
+        if mb is None:
+            try:
+                disk = sum(p.stat().st_size
+                           for p in Path(args.corpus).glob("*.parquet"))
+            except OSError:
+                disk = 0
+            cache = max(512 << 20, min(4 << 30, int(disk * 1.5)))
+        else:
+            cache = int(mb) << 20
+        corpus = CorpusReader(args.corpus, cache_bytes=cache)
 
     bm25 = None
     if args.hybrid_alpha is not None:
@@ -588,10 +608,13 @@ def _build_engine(args):
                               num_attention_heads=4, intermediate_size=128,
                               pad_token_id=tokenizer.pad_id)
             bparams = bert_init(jax.random.PRNGKey(2), bcfg)
-        reranker = CrossEncoderReranker(bparams, bcfg, btok)
+        reranker = CrossEncoderReranker(
+            bparams, bcfg, btok,
+            max_pair_len=rcfg.rerank_max_pair_len or None,
+        )
 
     return SearchEngine(idx, embedder=embedder, corpus=corpus, bm25=bm25,
-                        reranker=reranker)
+                        reranker=reranker, cfg=rcfg)
 
 
 def cmd_search(args) -> int:
@@ -847,6 +870,11 @@ def _add_serve(sub) -> None:
                         "rerank_top_k candidates")
     p.add_argument("--rerank-random-init", action="store_true",
                    help="random-init cross-encoder (tests/offline smoke)")
+    p.add_argument("--hydration-cache-mb", type=int, default=None,
+                   help="row-group text cache for lazy hydration (default: "
+                        "sized from corpus metadata, min 512 MB — at 2M rows "
+                        "the text column alone exceeds the old fixed 512 MB "
+                        "and warm_hydration churned through eviction)")
 
 
 def cmd_serve(args) -> int:

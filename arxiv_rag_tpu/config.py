@@ -145,6 +145,15 @@ class RetrievalConfig:
     rerank: bool = False
     rerank_model: str = "cross-encoder/ms-marco-MiniLM-L-6-v2"
     rerank_top_k: int = 50
+    # cross-encoder pair truncation (CLS+query+SEP+passage+SEP budget);
+    # 256 is the ms-marco convention — a 512-token pair costs >2x the
+    # FLOPs. 0 disables (pairs run to the model's max_seq_len).
+    rerank_max_pair_len: int = 256
+    # window-level admission: if a serving window carries more than this
+    # many (query, passage) pairs, rerank depth degrades per-query (the
+    # tail keeps dense order, flagged in extras["rerank_degraded"])
+    # instead of queueing 10+ s of cross-encoder work. 0 = unbounded.
+    rerank_max_window_pairs: int = 2048
     query_batch: int = 32
 
 

@@ -378,6 +378,16 @@ class SearchEngine:
         through the reranker's bucketed batcher in one stream — device
         dispatches are O(total_pairs / rerank_batch), not O(queries)."""
         scored_lists = [[h for h in hits if h.text] for hits in hydrated]
+        # admission control: a saturating window must not queue unbounded
+        # cross-encoder work (round-3 measurement: p50 12.5 s at ~30 qps
+        # under load). Over the cap, rerank depth degrades per-query and
+        # the un-reranked tail keeps dense order, flagged per result.
+        cap = getattr(self.cfg, "rerank_max_window_pairs", 0)
+        total_pairs = sum(len(sl) for sl in scored_lists)
+        degraded = bool(cap) and total_pairs > cap
+        if degraded:
+            depth = max(k, cap // max(1, len(queries)))
+            scored_lists = [sl[:depth] for sl in scored_lists]
         with METRICS.timer("search.rerank"):
             window = self.reranker.rerank_window(
                 queries, [[h.text for h in sl] for sl in scored_lists], k
@@ -389,6 +399,8 @@ class SearchEngine:
                 h = scored[idx]
                 h.extras["dense_score"] = h.score
                 h.score = float(s)
+                if degraded:
+                    h.extras["rerank_degraded"] = True
                 out.append(h)
             # text-less candidates can't be cross-encoded; keep them after
             # the reranked set (dense order) rather than dropping them
@@ -428,9 +440,13 @@ class SearchEngine:
             # fully-OOV BM25 query) — give it no weight, not full
             return np.zeros_like(v) if hi == 0.0 else np.ones_like(v)
 
+        # whole-window BM25 in one native call (round-4: the per-query
+        # Python loop here was the admitted hybrid host bound at Q=512)
+        with METRICS.timer("search.bm25"):
+            bm25_window = self.bm25.topk_batch(queries, c)
+
         for qi, query in enumerate(queries):
-            with METRICS.timer("search.bm25"):
-                bvals, brows = self.bm25.topk(query, c)
+            bvals, brows = bm25_window[qi]
             # padded/masked rows surface as -inf scores: drop before
             # min-max normalization (an -inf lo makes every score NaN)
             dmask = (drows[qi] >= 0) & np.isfinite(dvals[qi])

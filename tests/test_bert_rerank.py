@@ -297,3 +297,90 @@ def test_raw_ids_native_matches_python():
     rr._native = None
     s_py = rr.score_pairs(pairs)
     np.testing.assert_allclose(s_nat, s_py, atol=1e-6)
+
+
+def test_pair_truncation_budget():
+    """max_pair_len bounds every encoded pair (ms-marco ~256 convention,
+    round-4: halves rerank FLOPs vs 512-token pairs) and the long tail
+    of a passage can't evict the query from the pair."""
+    tok = WordPieceTokenizer.toy()
+    cfg = BertConfig(
+        vocab_size=len(tok.vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=512, pad_token_id=tok.pad_id,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rr = CrossEncoderReranker(params, cfg, tok, batch_size=4,
+                              compute_dtype=jnp.float32, max_pair_len=128)
+    long_q = "query " * 200
+    long_p = "passage words repeated " * 400
+    ids, types = rr._encode_pair(
+        rr._raw_ids([long_q])[0], rr._raw_ids([long_p])[0]
+    )
+    assert len(ids) <= 128
+    assert len(types) == len(ids)
+    # query keeps its budget (max_pair_len // 4)
+    assert types.index(1) >= 2  # CLS + at least some query before passage
+    assert sum(t == 0 for t in types) <= 128 // 4 + 2
+    # scoring a long pair stays within one 128-bucket forward
+    s = rr.score_pairs([(long_q, long_p), ("short", "pair")])
+    assert s.shape == (2,)
+    # default is the ms-marco-ish 256, capped by max_seq_len
+    rr2 = CrossEncoderReranker(params, cfg, tok, max_seq_len=192)
+    assert rr2.max_pair_len == 192
+    rr3 = CrossEncoderReranker(params, cfg, tok, max_pair_len=None)
+    assert rr3.max_pair_len == rr3.max_seq_len
+
+
+def test_rerank_window_admission_control():
+    """Over rerank_max_window_pairs the engine degrades rerank depth
+    per-query (dense tail keeps its order, results flagged) instead of
+    queueing unbounded cross-encoder work (round-3: p50 12.5 s)."""
+    import dataclasses
+
+    from arxiv_rag_tpu.config import RetrievalConfig
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(0)
+    embs = rng.standard_normal((50, 16), dtype=np.float32)
+    idx = build_index(embs, dtype="float32")
+
+    class FakeEmbedder:
+        def encode_texts(self, texts):
+            out = rng.standard_normal((len(texts), 16)).astype(np.float32)
+            return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    class FakeCorpus:
+        def read_all(self, columns=None):
+            import pyarrow as pa
+
+            n = 50
+            return pa.table(
+                {
+                    "chunk_id": [f"c{i}" for i in range(n)],
+                    "paper_id": [f"p{i//5}" for i in range(n)],
+                    "category": ["cs.LG"] * n,
+                    "section": ["body"] * n,
+                    "page": [1] * n,
+                    "text": [f"passage {i} text" for i in range(n)],
+                }
+            )
+
+    rr = _fake_reranker()
+    cfg = dataclasses.replace(RetrievalConfig(), rerank_max_window_pairs=40)
+    engine = SearchEngine(idx, embedder=FakeEmbedder(), corpus=FakeCorpus(),
+                          reranker=rr, cfg=cfg, use_pallas=False)
+    rr.stats.pairs = 0
+    results = engine.search([f"query {i}" for i in range(8)], k=5)
+    # depth degraded to max(k, 40 // 8) = 5 pairs per query, not 50
+    assert rr.stats.pairs == 8 * 5
+    assert all(len(r) == 5 for r in results)
+    assert all(h.extras.get("rerank_degraded") for r in results for h in r)
+    # under the cap: full depth, no flag
+    rr.stats.pairs = 0
+    engine2 = SearchEngine(idx, embedder=FakeEmbedder(), corpus=FakeCorpus(),
+                           reranker=rr, use_pallas=False)
+    results2 = engine2.search(["one query"], k=5)
+    assert rr.stats.pairs == 50
+    assert not any(h.extras.get("rerank_degraded") for r in results2 for h in r)

@@ -43,6 +43,12 @@ def main() -> None:
                          "rerank-top-k (ms-marco-MiniLM compute shape, "
                          "random init)")
     ap.add_argument("--rerank-top-k", type=int, default=50)
+    ap.add_argument("--rerank-pair-len", type=int, default=256,
+                    help="cross-encoder pair truncation (0 = model max; "
+                         "round-4 A/B vs the old 512-token pairs)")
+    ap.add_argument("--rerank-window-pairs", type=int, default=2048,
+                    help="admission cap on (query,passage) pairs per "
+                         "window (0 = unbounded)")
     ap.add_argument("--corpus-dir", default=None,
                     help="cache dir for the synthetic corpus parquet "
                          "(default /tmp/arag_serve_corpus_<rows>)")
@@ -190,6 +196,7 @@ def main() -> None:
             reranker = CrossEncoderReranker(
                 bert_init(jax.random.PRNGKey(5), bcfg, dtype=jnp.bfloat16),
                 bcfg, tok, batch_size=1024,
+                max_pair_len=args.rerank_pair_len or None,
                 compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
             )
 
@@ -197,7 +204,11 @@ def main() -> None:
     if args.rerank:
         import dataclasses
 
-        rcfg = dataclasses.replace(rcfg, rerank_top_k=args.rerank_top_k)
+        rcfg = dataclasses.replace(
+            rcfg, rerank_top_k=args.rerank_top_k,
+            rerank_max_pair_len=args.rerank_pair_len,
+            rerank_max_window_pairs=args.rerank_window_pairs,
+        )
     engine = SearchEngine(idx, embedder=embedder, cfg=rcfg, corpus=corpus,
                           bm25=bm25, reranker=reranker)
     # warm every compiled shape the windows can hit before timing: the
