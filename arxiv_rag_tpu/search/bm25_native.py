@@ -122,3 +122,74 @@ def build_postings(
         posting_offsets,
         doc_lens[: len(encoded)],
     )
+
+
+def _bind_score(lib: ctypes.CDLL) -> bool:
+    if getattr(lib, "_arag_score_bound", False):
+        return True
+    if not hasattr(lib, "arag_bm25_score_topk"):
+        return False
+    lib.arag_bm25_score_topk.restype = None
+    lib.arag_bm25_score_topk.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # flat_ids
+        ctypes.POINTER(ctypes.c_float),   # flat_tfs
+        ctypes.POINTER(ctypes.c_int64),   # posting_offsets
+        ctypes.POINTER(ctypes.c_float),   # idf
+        ctypes.POINTER(ctypes.c_float),   # norm
+        ctypes.c_int64,                   # num_docs
+        ctypes.c_double,                  # k1
+        ctypes.c_double,                  # b
+        ctypes.POINTER(ctypes.c_int32),   # q_terms
+        ctypes.POINTER(ctypes.c_int64),   # q_offsets
+        ctypes.c_int64,                   # n_queries
+        ctypes.c_int32,                   # k
+        ctypes.POINTER(ctypes.c_float),   # out_scores
+        ctypes.POINTER(ctypes.c_int64),   # out_ids
+        ctypes.POINTER(ctypes.c_int32),   # out_counts
+    ]
+    lib._arag_score_bound = True
+    return True
+
+
+def score_topk(
+    flat_ids: np.ndarray,
+    flat_tfs: np.ndarray,
+    posting_offsets: np.ndarray,
+    idf: np.ndarray,
+    norm: np.ndarray,
+    num_docs: int,
+    k1: float,
+    b: float,
+    q_terms: np.ndarray,
+    q_offsets: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Batch BM25 top-k over the CSR arrays: one native call scores a
+    whole serving window (round-4; the per-query Python loop bounded
+    hybrid serving). Returns ([Q,k] scores, [Q,k] doc ids, [Q] counts)
+    or None when the native library lacks the scorer."""
+    lib = _load()
+    if lib is None or not _bind_score(lib):
+        return None
+    nq = len(q_offsets) - 1
+    out_scores = np.zeros((nq, k), np.float32)
+    out_ids = np.zeros((nq, k), np.int64)
+    out_counts = np.zeros(nq, np.int32)
+    flat_ids = np.ascontiguousarray(flat_ids, np.int32)
+    flat_tfs = np.ascontiguousarray(flat_tfs, np.float32)
+    posting_offsets = np.ascontiguousarray(posting_offsets, np.int64)
+    idf = np.ascontiguousarray(idf, np.float32)
+    norm = np.ascontiguousarray(norm, np.float32)
+    q_terms = np.ascontiguousarray(q_terms, np.int32)
+    q_offsets = np.ascontiguousarray(q_offsets, np.int64)
+    as_ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+    lib.arag_bm25_score_topk(
+        as_ptr(flat_ids, ctypes.c_int32), as_ptr(flat_tfs, ctypes.c_float),
+        as_ptr(posting_offsets, ctypes.c_int64), as_ptr(idf, ctypes.c_float),
+        as_ptr(norm, ctypes.c_float), int(num_docs), float(k1), float(b),
+        as_ptr(q_terms, ctypes.c_int32), as_ptr(q_offsets, ctypes.c_int64),
+        nq, int(k),
+        as_ptr(out_scores, ctypes.c_float), as_ptr(out_ids, ctypes.c_int64),
+        as_ptr(out_counts, ctypes.c_int32),
+    )
+    return out_scores, out_ids, out_counts

@@ -17,6 +17,7 @@
 // (3-chunks/pipeline/requirements.txt:20, config.yaml:65-66); there is
 // no reference implementation to mirror — this is the framework's own.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -136,5 +137,65 @@ void arag_bm25_export(void* vh, char* term_buf, int64_t* term_offsets,
 }
 
 void arag_bm25_free(void* vh) { delete static_cast<Bm25Handle*>(vh); }
+
+// Batch Okapi BM25 top-k over exported CSR arrays (round-4: the hybrid
+// serving path scored one query at a time in Python — at Q=512 windows
+// on a 1-core host the per-query numpy loop bounded hybrid throughput).
+// One call scores a whole window. Queries arrive pre-tokenized as
+// vocab term ids (q_terms, CSR by q_offsets; duplicates = classic
+// query-tf weighting, OOV terms already dropped by the caller).
+//
+// Per query: accumulate posting-list contributions into a dense
+// scratch (first touch records the candidate), then partial-select the
+// top k by (score desc, doc id asc) — deterministic tie order.
+// Outputs: out_scores/out_ids are [n_queries, k] row-major;
+// out_counts[q] = number of matched docs written (rest untouched).
+void arag_bm25_score_topk(
+    const int32_t* flat_ids, const float* flat_tfs,
+    const int64_t* posting_offsets, const float* idf, const float* norm,
+    int64_t num_docs, double k1, double b,
+    const int32_t* q_terms, const int64_t* q_offsets, int64_t n_queries,
+    int32_t k, float* out_scores, int64_t* out_ids, int32_t* out_counts) {
+  std::vector<float> scratch(static_cast<size_t>(num_docs), 0.0f);
+  std::vector<int32_t> touched;
+  touched.reserve(1 << 16);
+  const float k1f = static_cast<float>(k1);
+  const float bf = static_cast<float>(b);
+  for (int64_t q = 0; q < n_queries; ++q) {
+    touched.clear();
+    for (int64_t t = q_offsets[q]; t < q_offsets[q + 1]; ++t) {
+      const int32_t tid = q_terms[t];
+      const float w = idf[tid] * (k1f + 1.0f);
+      for (int64_t j = posting_offsets[tid]; j < posting_offsets[tid + 1];
+           ++j) {
+        const int32_t d = flat_ids[j];
+        const float tf = flat_tfs[j];
+        if (scratch[static_cast<size_t>(d)] == 0.0f) touched.push_back(d);
+        scratch[static_cast<size_t>(d)] +=
+            w * tf / (tf + k1f * (1.0f - bf + bf * norm[d]));
+      }
+    }
+    const int32_t kk =
+        static_cast<int32_t>(std::min<size_t>(touched.size(),
+                                              static_cast<size_t>(k)));
+    auto better = [&](int32_t a, int32_t c) {
+      const float sa = scratch[static_cast<size_t>(a)];
+      const float sc = scratch[static_cast<size_t>(c)];
+      if (sa != sc) return sa > sc;
+      return a < c;
+    };
+    if (kk > 0) {
+      std::nth_element(touched.begin(), touched.begin() + (kk - 1),
+                       touched.end(), better);
+      std::sort(touched.begin(), touched.begin() + kk, better);
+      for (int32_t i = 0; i < kk; ++i) {
+        out_scores[q * k + i] = scratch[static_cast<size_t>(touched[i])];
+        out_ids[q * k + i] = touched[i];
+      }
+    }
+    out_counts[q] = kk;
+    for (const int32_t d : touched) scratch[static_cast<size_t>(d)] = 0.0f;
+  }
+}
 
 }  // extern "C"

@@ -111,3 +111,36 @@ def test_native_build_scales():
     per_q = (time.perf_counter() - t0) / 100
     assert per_q < 0.05, f"topk {per_q * 1e3:.1f} ms/query at 30k docs"
     assert t_native < 30, f"native build took {t_native:.1f}s for 30k docs"
+
+
+def test_topk_batch_native_matches_python_loop():
+    """The one-call native window scorer == the per-query Python topk
+    (same scores, same ids; deterministic tie order by doc id)."""
+    from arxiv_rag_tpu.search import bm25_native
+
+    rng = __import__("numpy").random.default_rng(9)
+    words = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(5, 40)))
+        for _ in range(500)
+    ]
+    idx = BM25Index.build(texts, native=False)  # Python-built: CSR on demand
+    queries = [
+        " ".join(rng.choice(words, 4)) for _ in range(32)
+    ] + ["zzz-oov only", ""]
+    batch = idx.topk_batch(queries, k=10)
+    assert len(batch) == len(queries)
+    for q, (bs, bi) in zip(queries, batch):
+        ps, pi = idx.topk(q, 10)
+        assert len(bs) == len(ps)
+        np.testing.assert_allclose(bs, ps, rtol=1e-6)
+        # id sets match; exact order can differ only within float ties
+        assert set(bi.tolist()) == set(pi.tolist()) or (
+            np.allclose(sorted(bs), sorted(ps))
+        )
+    if bm25_native.is_available():
+        # native-built index exercises the zero-copy CSR path
+        idx2 = BM25Index.build(texts, native=True)
+        b2 = idx2.topk_batch(queries, k=10)
+        for (a_s, a_i), (c_s, c_i) in zip(batch, b2):
+            np.testing.assert_allclose(a_s, c_s, rtol=1e-6)
