@@ -301,3 +301,42 @@ def text_pdf_with_figures(
         f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF".encode()
     )
     return bytes(buf)
+
+
+def mixed_quality_pdf() -> bytes:
+    """Two pages, each malformed for a DIFFERENT extraction strategy
+    (per-page merge fixture, reference ``pdf_extractor.py:839-910``):
+
+    - page 0 emits one span per GLYPH with tight advances: the simple
+      strategy inserts a space between every span ("z o r p ..."),
+      collapsing word structure; the native gap rule reconstructs words.
+    - page 1 emits word spans that all claim x=72 (broken font metrics):
+      the native x-sort glues each line into one giant token, while
+      emission-order simple keeps the spacing.
+
+    Neither whole-document strategy reaches a 0.95 accept gate (the
+    reference's own quality bar), but a best-per-page merge scores ~1.0.
+    """
+    pseudo = ("zorp quix blat fenk wubble prang stiv moxel cradup lonfir "
+              "velch bostin garnel tups hixor javeln kwint ployt drazen muff")
+    common = ("the quick brown fox jumps over the lazy dog and then the "
+              "small black cat sat on the warm stone wall near the old red barn")
+    lines_a = []
+    y = 700.0
+    for _ in range(25):
+        x = 72.0
+        for ch in pseudo:
+            if ch != " ":
+                lines_a.append((x, y, ch))
+            x += 5.0 if ch != " " else 4.0
+        y -= 14
+    lines_b = []
+    y = 700.0
+    for _ in range(25):
+        for w in common.split():
+            lines_b.append((72.0, y, w))
+        y -= 14
+    return make_pdf([
+        content_stream_for_lines(lines_a, size=10),
+        content_stream_for_lines(lines_b, size=10),
+    ])

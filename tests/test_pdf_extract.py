@@ -224,3 +224,43 @@ def test_third_party_writer_matplotlib():
     assert "Matplotlib Generated Document Title" in pages[0]
     assert "First body paragraph written by an external producer." in pages[0]
     assert "0123456789" in pages[0]
+
+
+def test_per_page_strategy_merge_beats_single_strategies():
+    """Reference ``pdf_extractor.py:839-910`` mixes strategies within a
+    document; the round-3 repo competed whole documents only, so one
+    malformed page dragged everything toward OCR-rescue. The merged
+    document must beat either single strategy on the mixed fixture."""
+    from pdfgen import mixed_quality_pdf
+    from arxiv_rag_tpu.pipeline.extract import pdfcore
+    from arxiv_rag_tpu.pipeline.extract.extractor import (
+        PDFExtractor, _strategy_native, _strategy_simple,
+    )
+    from arxiv_rag_tpu.pipeline.extract.quality import score_text
+
+    buf = mixed_quality_pdf()
+    doc = pdfcore.open_pdf(buf)
+    nat = score_text("\n\n".join(_strategy_native(doc)), num_pages=2).score
+    sim = score_text("\n\n".join(_strategy_simple(doc)), num_pages=2).score
+    ex = PDFExtractor(accept_score=0.95, use_cache=False)
+    res = ex.extract_bytes(buf)
+    assert res.success
+    assert res.method_used.startswith("mixed:")
+    assert res.quality_score > max(nat, sim) + 0.05
+    assert len(res.pages) == 2
+    # each page kept its best strategy's shape
+    assert "zorp quix" in res.pages[0]       # native reconstruction
+    assert "the quick brown" in res.pages[1]  # simple spacing
+
+
+def test_per_page_merge_skips_when_one_strategy_dominates():
+    """A document whose every page prefers the same strategy must keep
+    the plain whole-document winner (no 'mixed:' method)."""
+    from pdfgen import simple_text_pdf
+    from arxiv_rag_tpu.pipeline.extract.extractor import PDFExtractor
+
+    text = ("The quick brown fox jumps over the lazy dog. " * 40).strip()
+    buf = simple_text_pdf([text, text])
+    res = PDFExtractor(accept_score=0.99, use_cache=False).extract_bytes(buf)
+    assert res.success
+    assert not res.method_used.startswith("mixed:")
