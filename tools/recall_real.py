@@ -83,10 +83,18 @@ def main():
     except Exception:  # noqa: BLE001
         pass
     embedder = Embedder(
-        params, cfg, tok, buckets=(128, 256, 384), batch_size=512,
+        params, cfg, tok, buckets=(128, 256), batch_size=512,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         native_tokenizer=native,
     )
+    # compile probe first: one batch per bucket, with its own log line —
+    # a queued remote compile on the loaded shared pool looks like a
+    # hang otherwise (observed 40+ min for a cold encode shape)
+    for warm_len in (40, 120):
+        t0 = time.perf_counter()
+        _ = embedder.encode_texts(["word " * warm_len] * 512)
+        log(f"encode bucket for ~{warm_len}-word texts warm "
+            f"({time.perf_counter() - t0:.1f}s)")
     t0 = time.perf_counter()
     embs = embedder.encode_texts(texts)  # [N, 768] f32, L2-normalized
     t_embed = time.perf_counter() - t0
