@@ -110,15 +110,19 @@ def _topk_kernel(
     # ---- score the block on the MXU (fp32 accumulation) ----
     if use_int8 and int8_mode == "s8s8":
         # both operands int8: the MXU's native s8xs8->s32 path (double
-        # MAC rate on v5e); dequant = per-query scale x per-row scale
-        # applied to the s32 accumulator
+        # MAC rate on v5e). Only the per-ROW scale applies here: the
+        # per-QUERY scale is constant along the row axis, so it is a
+        # monotonic per-query transform that cannot change any ranking —
+        # it moves OUT of the per-block hot loop and multiplies the
+        # [Q, k] scratch once at finalize (round 4: one fewer [QB, BN]
+        # elementwise operand in the 489-blocks-per-call stream).
         raw = jax.lax.dot_general(
             q,
             x_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        scores = raw.astype(jnp.float32) * scales_ref[:] * qscale_ref[srows, :]
+        scores = raw.astype(jnp.float32) * scales_ref[:]
     elif use_int8 and int8_mode == "nodequant":
         # PERF PROBE ONLY (recall-broken): same stream, no [QB,BN] scale
         # pass — isolates the VPU dequant cost from the HBM stream
@@ -343,7 +347,13 @@ def _topk_kernel(
 
     @pl.when(i == num_blocks - 1)
     def _finalize():
-        out_vals_ref[:] = svals_ref[srows, :k]
+        vals = svals_ref[srows, :k]
+        if use_int8 and int8_mode == "s8s8":
+            # deferred per-query dequant (see the s8s8 score path): the
+            # scratch ranks in the qscale-free domain; scale the k
+            # survivors only. NEG_INF sentinels stay NEG_INF (qs > 0).
+            vals = vals * qscale_ref[srows, :]
+        out_vals_ref[:] = vals
         out_idx_ref[:] = sidx_ref[srows, :k]
 
 
