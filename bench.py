@@ -699,6 +699,39 @@ def main() -> None:
         "backend": "unknown",
     }
     errors: list = []
+
+    # the JSON line prints EXACTLY once, whichever path gets there first
+    import threading
+
+    emit_lock = threading.Lock()
+    emitted: list = []
+
+    def emit() -> None:
+        with emit_lock:
+            if emitted:
+                return
+            emitted.append(True)
+        if errors:
+            result["error"] = "; ".join(str(e) for e in errors)[:1200]
+        print(json.dumps(result), flush=True)
+
+    # hard-deadline watchdog: a DEAD tunnel hangs inside a C call — no
+    # exception, so the finally never runs (observed 2026-08-17: even a
+    # tiny fetched matmul blocked indefinitely for ~1 h). The watchdog
+    # prints whatever partial result exists and force-exits; stdout is
+    # flushed by emit(), and os._exit skips the hung runtime threads.
+    hard_deadline = float(os.environ.get("ARAG_BENCH_HARD_DEADLINE", 1800.0))
+
+    def _watchdog() -> None:
+        time.sleep(max(1.0, hard_deadline - (time.perf_counter() - T0)))
+        errors.append(f"hard deadline {hard_deadline:.0f}s — device call "
+                      "hung (dead tunnel?); partial results")
+        log(errors[-1])
+        emit()
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     try:
         import jax
 
@@ -723,9 +756,7 @@ def main() -> None:
         errors.append(f"fatal: {exc!r}"[:300])
         log(f"fatal: {exc!r}")
     finally:
-        if errors:
-            result["error"] = "; ".join(str(e) for e in errors)[:1200]
-        print(json.dumps(result), flush=True)
+        emit()
 
 
 if __name__ == "__main__":
