@@ -376,14 +376,21 @@ class PDFExtractor:
         merged: list[str] = []
         sources: list[str] = []
         for i in range(n):
-            page_best = ("", -1.0, "none")
+            # empty candidates don't compete: scoring '' as 0.0 would
+            # beat real text that legitimately scores 0.0 (iteration
+            # order) and attribute blank pages to a strategy, dropping
+            # pages and fabricating 'mixed:' labels
+            page_best: tuple[str, float, str | None] = ("", -1.0, None)
             for name, pages in candidates.items():
                 pg = pages[i] if i < len(pages) else ""
-                s = score_text(pg, num_pages=1).score if pg else 0.0
+                if not pg:
+                    continue
+                s = score_text(pg, num_pages=1).score
                 if s > page_best[1]:
                     page_best = (pg, s, name)
             merged.append(page_best[0])
-            sources.append(page_best[2])
+            if page_best[2] is not None:
+                sources.append(page_best[2])
         if len(set(sources)) <= 1:
             return None
         rep = score_text("\n\n".join(merged), num_pages=max(1, n))

@@ -31,9 +31,13 @@ def _load() -> ctypes.CDLL | None:
     if not _native_build._LIB_PATH.exists() and not _native_build.build_native():
         return None
     lib = ctypes.CDLL(str(_native_build._LIB_PATH))
-    if not hasattr(lib, "arag_bm25_build"):
-        # stale .so built before bm25.cpp existed: rebuild (make replaces
-        # the file, so a fresh dlopen maps the new object)
+    if not hasattr(lib, "arag_bm25_build") or not hasattr(
+        lib, "arag_bm25_score_topk"
+    ):
+        # stale .so predating bm25.cpp (or the round-4 batch scorer):
+        # rebuild — make replaces the file, so a fresh dlopen maps the
+        # new object. Without this, a round-3 .so silently disables the
+        # native window scorer forever.
         if not _native_build.build_native(force=True):
             return None
         lib = ctypes.CDLL(str(_native_build._LIB_PATH))

@@ -382,6 +382,11 @@ class SearchEngine:
         # cross-encoder work (round-3 measurement: p50 12.5 s at ~30 qps
         # under load). Over the cap, rerank depth degrades per-query and
         # the un-reranked tail keeps dense order, flagged per result.
+        # NOTE the floor: every query still reranks at least k pairs (k
+        # reranked results must exist), so the effective window minimum
+        # is k * len(queries) pairs — a 512-query window at k=10 runs
+        # 5120 pairs even with cap=2048. Bound the batcher's max window
+        # if a strict pair budget matters.
         cap = getattr(self.cfg, "rerank_max_window_pairs", 0)
         total_pairs = sum(len(sl) for sl in scored_lists)
         degraded = bool(cap) and total_pairs > cap

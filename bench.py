@@ -741,17 +741,25 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
         n_rows = int(os.environ.get("ARAG_BENCH_ROWS", on_tpu_default))
+        # transient co-tenant pressure on the shared pool: retry ONCE at
+        # half scale, reported. ANY phase's RESOURCE_EXHAUSTED qualifies
+        # (the slice-wise build is the allocation-heaviest part), and the
+        # retry runs OUTSIDE the except block — inside it, the handled
+        # exception's traceback pins the first attempt's frames and with
+        # them ~4.6 GB of device buffers, so a nested retry re-OOMs.
+        retry_rows = 0
         try:
             run_bench(result, errors, n_rows)
-        except _Oom as exc:
-            # transient co-tenant pressure on the shared pool: free this
-            # attempt's buffers and retry ONCE at half scale, reported
-            errors.append(f"oom@{n_rows}: {exc}")
+        except Exception as exc:  # noqa: BLE001
+            if not (isinstance(exc, _Oom) or _is_oom(exc)):
+                raise
+            errors.append(f"oom@{n_rows}: {str(exc)[:300]}")
             log(f"RESOURCE_EXHAUSTED at {n_rows} rows; retrying at {n_rows // 2}")
-            exc = None
-            gc.collect()
+            retry_rows = n_rows // 2
+        if retry_rows:
+            gc.collect()  # attempt-1 frames are free now; drop their buffers
             result["rows_reduced"] = True
-            run_bench(result, errors, n_rows // 2)
+            run_bench(result, errors, retry_rows)
     except Exception as exc:  # noqa: BLE001 — the JSON line still prints
         errors.append(f"fatal: {exc!r}"[:300])
         log(f"fatal: {exc!r}")

@@ -79,9 +79,26 @@ def main():
         )
 
         if is_available():
-            native = NativeWordPieceTokenizer(tok)
+            # the native core loads a vocab FILE (one token per line,
+            # line == id); write the toy vocab out if it is dense
+            import tempfile
+
+            size = max(tok.vocab.values()) + 1
+            toks = [None] * size
+            for t, i in tok.vocab.items():
+                toks[i] = t
+            if all(t is not None for t in toks):
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".vocab.txt", delete=False, encoding="utf-8"
+                ) as f:
+                    f.write("\n".join(toks) + "\n")
+                native = NativeWordPieceTokenizer(
+                    f.name, specials=tok.specials,
+                    do_lower_case=tok.do_lower_case,
+                )
+                log("native tokenizer engaged")
     except Exception:  # noqa: BLE001
-        pass
+        native = None
     embedder = Embedder(
         params, cfg, tok, buckets=(128, 256), batch_size=512,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
