@@ -77,6 +77,8 @@ def _topk_kernel(
     use_int8: bool,
     int8_mode: str = "row",
     merge_impl: str = "extract",
+    _blkids_ref=None,  # IVF mode: SMEM [n_qtiles, max_blocks] block-id table
+    q_f32_cast: bool = False,  # queries resident as f32, cast per-slice
 ):
     if use_int8:
         scales_ref = rest[0]  # [1, BN] f32 row scales
@@ -90,9 +92,21 @@ def _topk_kernel(
         rest = rest[2:]
     out_vals_ref, out_idx_ref, svals_ref, sidx_ref = rest
 
-    i = pl.program_id(0)  # row block (outer, slow)
-    qb = pl.program_id(1)  # query tile (inner, fast — x block stays resident)
-    num_blocks = pl.num_programs(0)
+    if _blkids_ref is not None:
+        # IVF mode (ops/pallas_ivf.py): the grid is (q tile, probe
+        # step) — tile OUTER, because each tile streams its OWN probed
+        # blocks; the scanned block id is data-dependent, read from the
+        # prefetched per-tile table (which also drives the x BlockSpec
+        # index_map, so the DMA pipeline fetches the right block).
+        qb = pl.program_id(0)
+        step = pl.program_id(1)
+        num_steps = pl.num_programs(1)
+        blk = _blkids_ref[qb, step]
+    else:
+        step = pl.program_id(0)  # row block (outer, slow)
+        qb = pl.program_id(1)  # query tile (inner, fast — x block resident)
+        num_steps = pl.num_programs(0)
+        blk = step
     qn = q_block
     srows = pl.dslice(qb * qn, qn)  # this tile's scratch/query rows
     # the FULL query batch sits in VMEM with a constant BlockSpec (it is
@@ -101,8 +115,12 @@ def _topk_kernel(
     # block (~770 MB of redundant query traffic per 2M-row call at
     # Q=512, ~26% of the index stream)
     q = q_ref[srows, :]
+    if q_f32_cast and (use_int8 or x_ref.dtype == jnp.bfloat16):
+        # IVF paths keep the resident queries f32 so q_block=8 tiles
+        # slice on exact f32 sublane boundaries; cast the slice here
+        q = q.astype(jnp.bfloat16)
 
-    @pl.when(i == 0)
+    @pl.when(step == 0)
     def _init():
         svals_ref[srows, :] = jnp.full((qn, LANES), NEG_INF, jnp.float32)
         sidx_ref[srows, :] = jnp.full((qn, LANES), -1, jnp.int32)
@@ -163,7 +181,7 @@ def _topk_kernel(
     # keep one row and let broadcasting widen ([qn, BN] iotas wasted VPU
     # registers and VMEM)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
-    gidx = cols + i * block_rows  # global row ids of this block
+    gidx = cols + blk * block_rows  # global row ids of this block
 
     valid = gidx < nvalid_ref[0, 0]
     if use_mask:
@@ -276,7 +294,7 @@ def _topk_kernel(
                     jnp.where(hit_l, llane, _HUGE_COL), axis=1, keepdims=True
                 )
                 col = sel_g * LANES + sel_l
-                gid = col + i * block_rows
+                gid = col + blk * block_rows
                 improve = m > sv[:, k - 1 : k]
                 sv, si = insert(sv, si, m, gid, improve)
                 # mask the extracted lane, refresh that group's max
@@ -345,7 +363,7 @@ def _topk_kernel(
         svals_ref[srows, :] = sv
         sidx_ref[srows, :] = si
 
-    @pl.when(i == num_blocks - 1)
+    @pl.when(step == num_steps - 1)
     def _finalize():
         vals = svals_ref[srows, :k]
         if use_int8 and int8_mode == "s8s8":
