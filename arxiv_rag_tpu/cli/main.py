@@ -455,6 +455,11 @@ def _add_index(sub) -> None:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32", "int8"])
     p.add_argument("--device-build", action="store_true",
                    help="normalize/quantize on the TPU (fast for multi-M rows)")
+    p.add_argument("--ivf-clusters", type=int, default=0,
+                   help="also train an IVF (cluster-pruned) delta with this "
+                        "many clusters; search probes it via --nprobe")
+    p.add_argument("--ivf-block-rows", type=int, default=1024)
+    p.add_argument("--ivf-iters", type=int, default=10)
 
 
 def cmd_index(args) -> int:
@@ -484,8 +489,19 @@ def cmd_index(args) -> int:
     idx = builder(embs, categories=categories, dtype=args.dtype, chunk_ids=ids)
     idx.model = manifest.get("model", "")
     idx.save(args.out)  # writes chunk_ids.json from idx.chunk_ids
+    ivf_meta = {}
+    if args.ivf_clusters:
+        from arxiv_rag_tpu.index.ivf import IVFIndex
+
+        ivf = IVFIndex.build(
+            idx, args.ivf_clusters, block_rows=args.ivf_block_rows,
+            iters=args.ivf_iters,
+        )
+        ivf.save(args.out)
+        ivf_meta = {"ivf_clusters": ivf.n_clusters,
+                    "ivf_block_rows": ivf.block_rows}
     print(json.dumps({"rows": idx.num_rows, "dim": idx.dim, "dtype": idx.dtype,
-                      "categories": idx.categories}))
+                      "categories": idx.categories, **ivf_meta}))
     return 0
 
 
@@ -508,6 +524,9 @@ def _add_search(sub) -> None:
                    help="random cross-encoder (smoke runs)")
     p.add_argument("--shard", action="store_true",
                    help="row-shard the index over the device mesh")
+    p.add_argument("--nprobe", type=int, default=None,
+                   help="probe this many IVF clusters (approximate search; "
+                        "needs an index built with --ivf-clusters)")
 
 
 def _build_engine(args):
@@ -531,8 +550,20 @@ def _build_engine(args):
     # retrieval knobs (rerank truncation/admission, hybrid alpha default)
     # come from the typed config: defaults <- ARAG__RETRIEVAL__* env
     rcfg = load_config().retrieval
+    if getattr(args, "nprobe", None) is not None:
+        import dataclasses as _dc
+
+        rcfg = _dc.replace(rcfg, nprobe=args.nprobe)
 
     idx = DenseIndex.load(args.index)
+    ivf = None
+    from arxiv_rag_tpu.index.ivf import IVFIndex
+
+    if IVFIndex.exists(args.index):
+        # the delta is small on disk; the load re-permutes dense rows
+        ivf = IVFIndex.load(args.index, idx)
+        if rcfg.nprobe:
+            ivf.to_device()
     if getattr(args, "shard", False):
         from arxiv_rag_tpu.parallel import data_mesh, init_distributed
 
@@ -614,7 +645,7 @@ def _build_engine(args):
         )
 
     return SearchEngine(idx, embedder=embedder, corpus=corpus, bm25=bm25,
-                        reranker=reranker, cfg=rcfg)
+                        reranker=reranker, cfg=rcfg, ivf=ivf)
 
 
 def cmd_search(args) -> int:
@@ -851,6 +882,8 @@ def _add_serve(sub) -> None:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--shard", action="store_true",
                    help="row-shard the index over the device mesh")
+    p.add_argument("--nprobe", type=int, default=None,
+                   help="serve with IVF probing (approximate retrieval)")
     p.add_argument("--batch-window-ms", type=float, default=4.0,
                    help="micro-batch coalescing window (0 = serialize directly)")
     p.add_argument("--max-batch", type=int, default=512,

@@ -155,6 +155,15 @@ class RetrievalConfig:
     # instead of queueing 10+ s of cross-encoder work. 0 = unbounded.
     rerank_max_window_pairs: int = 2048
     query_batch: int = 32
+    # IVF (cluster-pruned) retrieval: 0 = flat exact scan (default);
+    # >0 = probe that many clusters per query when the index dir carries
+    # an IVF delta (`arag index --ivf-clusters`). Approximate — recall
+    # rises with nprobe and hits 1.0 at nprobe == n_clusters.
+    nprobe: int = 0
+    # query-tile height for the IVF kernel: each tile scans the UNION of
+    # its queries' probed clusters, so small tiles keep the prune tight
+    # (see index/ivf.py docstring for the batching analysis)
+    ivf_q_block: int = 8
 
 
 @dataclass(frozen=True)

@@ -102,27 +102,45 @@ class IVFIndex:
         seed: int = 0,
         sample_rows: int | None = 262144,
         assign_batch: int = 262144,
+        centroids: np.ndarray | None = None,
+        assignments: np.ndarray | None = None,
     ) -> "IVFIndex":
         """Train centroids, assign every row, permute cluster-contiguous.
 
         ``dense`` is a DenseIndex (any dtype); int8 rows are dequantized
         batch-wise for training/assignment, so the full f32 matrix never
-        materializes.
+        materializes. ``centroids``/``assignments`` can be supplied
+        precomputed (e.g. when the corpus already lives on-device and
+        round-tripping f32 rows through a tunneled host would dominate
+        the build — tools/ivf_scale.py assigns at generation time).
         """
         n = dense.num_rows
         if n_clusters < 2 or n_clusters > n:
             raise ValueError(f"n_clusters {n_clusters} out of range for {n} rows")
         rng = np.random.default_rng(seed)
-        t_rows = min(n, sample_rows) if sample_rows else n
-        t_idx = np.sort(rng.choice(n, size=t_rows, replace=False))
-        centroids = spherical_kmeans(
-            _dense_rows_f32(dense, t_idx), n_clusters,
-            iters=iters, seed=seed, sample_rows=None,
-        )
-        assign = np.empty((n,), np.int32)
-        for start in range(0, n, assign_batch):
-            sl = slice(start, min(start + assign_batch, n))
-            assign[sl] = assign_clusters(_dense_rows_f32(dense, sl), centroids)
+        if centroids is None:
+            t_rows = min(n, sample_rows) if sample_rows else n
+            t_idx = np.sort(rng.choice(n, size=t_rows, replace=False))
+            centroids = spherical_kmeans(
+                _dense_rows_f32(dense, t_idx), n_clusters,
+                iters=iters, seed=seed, sample_rows=None,
+            )
+        else:
+            centroids = np.asarray(centroids, np.float32)
+            if centroids.shape[0] != n_clusters:
+                raise ValueError(
+                    f"supplied centroids have {centroids.shape[0]} rows, "
+                    f"expected n_clusters={n_clusters}"
+                )
+        if assignments is None:
+            assign = np.empty((n,), np.int32)
+            for start in range(0, n, assign_batch):
+                sl = slice(start, min(start + assign_batch, n))
+                assign[sl] = assign_clusters(_dense_rows_f32(dense, sl), centroids)
+        else:
+            assign = np.asarray(assignments, np.int32)
+            if assign.shape != (n,):
+                raise ValueError(f"assignments shape {assign.shape} != ({n},)")
         order = np.argsort(assign, kind="stable").astype(np.int64)
         counts = np.bincount(assign, minlength=n_clusters)
         offsets = np.zeros((n_clusters + 1,), np.int64)
@@ -229,14 +247,18 @@ class IVFIndex:
 
     # -- probe planning --------------------------------------------------
 
-    def probe(self, queries: jnp.ndarray, nprobe: int) -> np.ndarray:
-        """[Q, nprobe] int32 nearest-centroid ids (device matmul + top-k;
-        the centroid table is tiny, so this is one cheap fused call)."""
+    def _probe_dispatch(self, queries: jnp.ndarray, nprobe: int) -> jnp.ndarray:
+        """Dispatch the centroid top-nprobe WITHOUT fetching (device
+        matmul + top-k over the tiny centroid table)."""
         if self._device_centroids is None:
             self.to_device()
         nprobe = min(nprobe, self.n_clusters)
         _, cids = flat_search(self._device_centroids, queries, nprobe)
-        return np.asarray(cids)
+        return cids
+
+    def probe(self, queries: jnp.ndarray, nprobe: int) -> np.ndarray:
+        """[Q, nprobe] int32 nearest-centroid ids."""
+        return np.asarray(self._probe_dispatch(queries, nprobe))
 
     def plan_blocks(self, cluster_ids: np.ndarray, q_block: int) -> np.ndarray:
         """Per-tile block table for the kernel: union of the tile's
@@ -304,30 +326,10 @@ class IVFIndex:
         qd = jnp.asarray(q)
         cids = self.probe(qd, nprobe)
         table = self.plan_blocks(cids, q_block)
-        kw = dict(
-            n_valid=self.n_valid, block_rows=self.block_rows,
-            q_block=q_block, interpret=interpret,
+        vals, local = self._search_table(
+            qd, table, k, n_valid=self.n_valid, block_rows=self.block_rows,
+            q_block=q_block, query_mask=query_mask, interpret=interpret,
         )
-        if query_mask is not None:
-            if self._device_masks is None:
-                raise ValueError("IVF index has no row masks; rebuild with categories")
-            qm = jnp.asarray(np.asarray(query_mask, np.uint32).astype(np.int32))
-            if self.dtype == "int8":
-                vals, local = ivf_topk_int8_masked(
-                    self._device_values, self._device_scales,
-                    self._device_masks, qm, table, qd, k, **kw,
-                )
-            else:
-                vals, local = ivf_topk_masked(
-                    self._device_values, self._device_masks, qm, table, qd, k,
-                    **kw,
-                )
-        elif self.dtype == "int8":
-            vals, local = ivf_topk_int8(
-                self._device_values, self._device_scales, table, qd, k, **kw
-            )
-        else:
-            vals, local = ivf_topk(self._device_values, table, qd, k, **kw)
         vals = np.asarray(vals)[:qn]
         local = np.asarray(local)[:qn]
         rows = np.where(
@@ -336,3 +338,40 @@ class IVFIndex:
             np.int64(-1),
         )
         return vals, rows
+
+    def _search_table(
+        self,
+        qd: jnp.ndarray,
+        table: np.ndarray,
+        k: int,
+        *,
+        n_valid: int,
+        block_rows: int,
+        q_block: int,
+        query_mask: np.ndarray | None = None,
+        interpret: bool | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Dispatch the pruned kernel for a prepared block table (device
+        arrays returned un-fetched; LOCAL row ids). Split out so callers
+        can pipeline probe/plan/kernel and time them separately."""
+        kw = dict(
+            n_valid=n_valid, block_rows=block_rows,
+            q_block=q_block, interpret=interpret,
+        )
+        if query_mask is not None:
+            if self._device_masks is None:
+                raise ValueError("IVF index has no row masks; rebuild with categories")
+            qm = jnp.asarray(np.asarray(query_mask).astype(np.int32))
+            if self.dtype == "int8":
+                return ivf_topk_int8_masked(
+                    self._device_values, self._device_scales,
+                    self._device_masks, qm, table, qd, k, **kw,
+                )
+            return ivf_topk_masked(
+                self._device_values, self._device_masks, qm, table, qd, k, **kw
+            )
+        if self.dtype == "int8":
+            return ivf_topk_int8(
+                self._device_values, self._device_scales, table, qd, k, **kw
+            )
+        return ivf_topk(self._device_values, table, qd, k, **kw)

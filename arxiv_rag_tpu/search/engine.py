@@ -87,11 +87,15 @@ class SearchEngine:
         bm25: BM25Index | None = None,
         reranker=None,
         use_pallas: bool | None = None,
+        ivf=None,
     ) -> None:
         self.index = index
         self.embedder = embedder
         self.corpus = corpus
         self.cfg = cfg
+        # optional IVF delta (index/ivf.py): routes dense scans through
+        # the cluster-pruned kernel when cfg.nprobe / nprobe arg > 0
+        self.ivf = ivf
         if bm25 is not None and bm25.num_docs != index.num_rows:
             raise ValueError(
                 f"bm25 has {bm25.num_docs} docs but index has {index.num_rows} "
@@ -121,9 +125,11 @@ class SearchEngine:
         query_embs: np.ndarray,
         k: int | None = None,
         categories: Sequence[str] | None = None,
+        nprobe: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """(scores [Q,k], corpus rows [Q,k]) for pre-embedded queries."""
-        return self.search_embeddings_dispatch(query_embs, k, categories)()
+        return self.search_embeddings_dispatch(query_embs, k, categories,
+                                               nprobe=nprobe)()
 
     def search_embeddings_dispatch(
         self,
@@ -131,6 +137,7 @@ class SearchEngine:
         k: int | None = None,
         categories: Sequence[str] | None = None,
         n_real: int | None = None,
+        nprobe: int | None = None,
     ):
         """Dispatch the dense scan WITHOUT fetching: returns a
         ``finish() -> (scores, rows)`` closure.  Device execution
@@ -163,6 +170,30 @@ class SearchEngine:
             if qn_pad != qn_in:
                 q = jnp.pad(q, ((0, qn_pad - qn_in), (0, 0)))
         n_valid = idx._n_valid
+        # IVF route: cluster-pruned scan when an IVF delta is attached
+        # and probing is requested (arg overrides cfg; 0 = flat/exact).
+        # Returns ORIGINAL dense row ids, so everything downstream
+        # (hybrid, hydrate, rerank) is oblivious. Note this path is not
+        # a pure dispatch — probing fetches [Q, nprobe] cluster ids to
+        # plan the block tables — so it trades the dispatch/fetch
+        # pipeline for reading ~n_valid/prune_factor rows.
+        np_probe = self.cfg.nprobe if nprobe is None else nprobe
+        if self.ivf is not None and np_probe > 0 and idx._mesh is None:
+            qmask = None
+            if categories is not None:
+                qmask = np.full(
+                    (q.shape[0],), self.index.category_mask(categories), np.uint32
+                )
+            with METRICS.timer("search.ivf"):
+                ivals, irows = self.ivf.search(
+                    np.asarray(q, np.float32), k, nprobe=np_probe,
+                    q_block=self.cfg.ivf_q_block, query_mask=qmask,
+                )
+
+            def finish_ivf() -> tuple[np.ndarray, np.ndarray]:
+                return ivals[:qn_real], irows[:qn_real]
+
+            return finish_ivf
         # routing: the q-tiled fused kernel streams the index from HBM
         # exactly once at any Q (round-1's single-level kernel lost to
         # XLA from Q≈128 up because its row block shrank with Q — fixed
@@ -293,12 +324,14 @@ class SearchEngine:
         k: int | None = None,
         categories: Sequence[str] | None = None,
         hybrid_alpha: float | None = None,
+        nprobe: int | None = None,
     ) -> list[list[SearchResult]]:
         """End-to-end: encode → dense scan (→ hybrid merge → rerank) →
         hydrate. One code path with :meth:`search_dispatch` — this is
         just dispatch + immediate finish."""
         return self.search_dispatch(
-            queries, k=k, categories=categories, hybrid_alpha=hybrid_alpha
+            queries, k=k, categories=categories, hybrid_alpha=hybrid_alpha,
+            nprobe=nprobe,
         )()
 
     def _encode_queries(self, queries: Sequence[str]) -> np.ndarray:
@@ -317,6 +350,7 @@ class SearchEngine:
         k: int | None = None,
         categories: Sequence[str] | None = None,
         hybrid_alpha: float | None = None,
+        nprobe: int | None = None,
     ):
         """Pipelined form of :meth:`search`: dispatch the device work now,
         return a ``finish() -> list[list[SearchResult]]`` closure that
@@ -353,7 +387,7 @@ class SearchEngine:
                 query_embs, n_real = self._encode_queries(queries), qn
         c = max(fetch_k, self.cfg.rerank_top_k) if hybrid else fetch_k
         fin = self.search_embeddings_dispatch(query_embs, c, categories,
-                                              n_real=n_real)
+                                              n_real=n_real, nprobe=nprobe)
 
         def finish() -> list[list[SearchResult]]:
             dvals, drows = fin()

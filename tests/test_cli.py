@@ -123,6 +123,27 @@ def test_cli_search_hybrid_and_rerank(pdf_root, tmp_path, capsys):
     assert "query[0]" in out and "row=" in out
 
 
+def test_cli_index_ivf_and_search_nprobe(pdf_root, tmp_path, capsys):
+    corpus = tmp_path / "c_ivf"
+    main(["chunk", "--pdfs", str(pdf_root), "--corpus", str(corpus), "--workers", "0"])
+    emb = tmp_path / "e_ivf"
+    main(["embed", "--corpus", str(corpus), "--out", str(emb),
+          "--random-init", "--batch-size", "8", "--min-quality", "0.0"])
+    idx = tmp_path / "i_ivf"
+    capsys.readouterr()
+    assert main(["index", "--embeddings", str(emb), "--corpus", str(corpus),
+                 "--out", str(idx), "--dtype", "float32",
+                 "--ivf-clusters", "3", "--ivf-block-rows", "8"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["ivf_clusters"] == 3
+    assert (idx / "ivf" / "meta.json").exists()
+    assert main(["search", "--index", str(idx), "--corpus", str(corpus),
+                 "--query", "retrieval encoder", "--k", "3", "--random-init",
+                 "--nprobe", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "query[0]" in out and "row=" in out
+
+
 def test_cli_serve_http_roundtrip(pdf_root, tmp_path):
     import urllib.request
 

@@ -266,6 +266,31 @@ def test_ivf_index_ragged_query_count(blob_data):
     np.testing.assert_array_equal(rows, oi)
 
 
+def test_engine_routes_through_ivf(blob_data):
+    """SearchEngine.search_embeddings(nprobe=...) uses the IVF path and
+    returns the same row space as the flat scan."""
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    index, queries, cats = blob_data
+    dense = build_index(index, categories=cats, dtype="float32", normalize=False)
+    ivf = IVFIndex.build(dense, 24, block_rows=BR, iters=8, seed=0)
+    eng = SearchEngine(dense, ivf=ivf, use_pallas=False)
+    fvals, frows = eng.search_embeddings(queries, K)  # flat (nprobe=0 default)
+    ivals, irows = eng.search_embeddings(queries, K, nprobe=24)  # full probe
+    ov, oi = cosine_topk_numpy(index, queries, K)
+    r = recall_at_k(irows, oi, ov, tie_tol=5e-3, candidate_scores=ivals)
+    assert r == 1.0
+    rf = recall_at_k(frows, oi, ov, tie_tol=5e-3, candidate_scores=fvals)
+    assert rf == 1.0
+    # category filter through the IVF route
+    cvals, crows = eng.search_embeddings(queries, K, categories=["cs.AI"],
+                                         nprobe=24)
+    keep = np.flatnonzero(np.asarray(cats) == "cs.AI")
+    sv, si = cosine_topk_numpy(index[keep], queries, K)
+    rc = recall_at_k(crows, keep[si], sv, tie_tol=5e-3, candidate_scores=cvals)
+    assert rc == 1.0
+
+
 def test_ivf_load_rejects_mismatched_dense(blob_data, tmp_path):
     index, _, _ = blob_data
     dense = build_index(index, dtype="float32", normalize=False)
