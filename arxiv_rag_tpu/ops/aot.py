@@ -53,24 +53,42 @@ def _cache_dir() -> Path:
 
 
 _SRC_HASH: dict[str, str] = {}
+# module -> extra source modules its jitted functions depend on (e.g.
+# pallas_ivf's jits call the kernel body defined in pallas_topk —
+# without this, a kernel edit would leave IVF payloads stale)
+_SRC_DEPS: dict[str, tuple[str, ...]] = {}
+
+
+def register_source_deps(module: str, deps: tuple[str, ...]) -> None:
+    """Declare that payloads for jits defined in ``module`` must also be
+    invalidated when any of ``deps`` (module names) changes."""
+    _SRC_DEPS[module] = tuple(deps)
+    _SRC_HASH.pop(module, None)  # recompute with deps folded in
+
+
+def _module_file_hash(mod: str) -> str:
+    try:
+        import sys
+
+        src_file = getattr(sys.modules[mod], "__file__", None)
+        with open(src_file, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:12]
+    except Exception:  # noqa: BLE001 — builtins/REPL: no source to pin
+        return "nosrc"
 
 
 def _code_fingerprint(jit_fn) -> str:
-    """Hash of the source file defining the jitted function (memoized
-    per module). A payload keyed without this would silently keep
-    serving OLD compiled code after a kernel edit (advisor r3, medium)."""
+    """Hash of the source file(s) behind the jitted function (memoized
+    per module; registered deps folded in). A payload keyed without this
+    would silently keep serving OLD compiled code after a kernel edit
+    (advisor r3, medium)."""
     fn = getattr(jit_fn, "__wrapped__", jit_fn)
     mod = getattr(fn, "__module__", "") or ""
     h = _SRC_HASH.get(mod)
     if h is None:
-        try:
-            import sys
-
-            src_file = getattr(sys.modules[mod], "__file__", None)
-            with open(src_file, "rb") as f:
-                h = hashlib.sha256(f.read()).hexdigest()[:12]
-        except Exception:  # noqa: BLE001 — builtins/REPL: no source to pin
-            h = "nosrc"
+        parts = [_module_file_hash(mod)]
+        parts += [_module_file_hash(d) for d in _SRC_DEPS.get(mod, ())]
+        h = hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
         _SRC_HASH[mod] = h
     return h
 

@@ -51,6 +51,12 @@ from arxiv_rag_tpu.ops.pallas_topk import (
     _trim,
 )
 
+# the kernel body these jits trace lives in pallas_topk — AOT payloads
+# must also be invalidated when THAT file changes
+from arxiv_rag_tpu.ops import aot as _aot
+
+_aot.register_source_deps(__name__, ("arxiv_rag_tpu.ops.pallas_topk",))
+
 
 def _ivf_kernel(blkids_ref, nvalid_ref, q_ref, x_ref, *rest, **params):
     # PrefetchScalarGridSpec delivers the prefetch operand first; hand

@@ -83,6 +83,25 @@ def test_key_distinguishes_statics_and_shapes(_clean_state):
     np.testing.assert_allclose(np.asarray(out4), np.arange(8, dtype=np.float32) * 4)
 
 
+def test_registered_source_deps_change_key(_clean_state):
+    """Declared cross-module deps fold into the code fingerprint (the
+    IVF jits trace a kernel body defined in pallas_topk — editing THAT
+    file must invalidate their payloads too)."""
+    x = jnp.arange(8, dtype=jnp.float32)
+    mod = toy.__wrapped__.__module__ if hasattr(toy, "__wrapped__") else toy.__module__
+    before = aot._key("toy", (x,), {"s": 3}, toy)
+    try:
+        aot.register_source_deps(mod, ("arxiv_rag_tpu.ops.pallas_topk",))
+        after = aot._key("toy", (x,), {"s": 3}, toy)
+        assert before != after
+        # idempotent: same deps -> same key
+        aot.register_source_deps(mod, ("arxiv_rag_tpu.ops.pallas_topk",))
+        assert aot._key("toy", (x,), {"s": 3}, toy) == after
+    finally:
+        aot._SRC_DEPS.pop(mod, None)
+        aot._SRC_HASH.pop(mod, None)
+
+
 def test_corrupt_payload_falls_back(_clean_state):
     tmp_path = _clean_state
     x = jnp.arange(4, dtype=jnp.float32)
