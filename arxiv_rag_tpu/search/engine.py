@@ -178,17 +178,26 @@ class SearchEngine:
         # plan the block tables — so it trades the dispatch/fetch
         # pipeline for reading ~n_valid/prune_factor rows.
         np_probe = self.cfg.nprobe if nprobe is None else nprobe
-        if self.ivf is not None and np_probe > 0 and idx._mesh is None:
+        if self.ivf is not None and np_probe > 0:
             qmask = None
             if categories is not None:
                 qmask = np.full(
                     (q.shape[0],), self.index.category_mask(categories), np.uint32
                 )
             with METRICS.timer("search.ivf"):
-                ivals, irows = self.ivf.search(
-                    np.asarray(q, np.float32), k, nprobe=np_probe,
-                    q_block=self.cfg.ivf_q_block, query_mask=qmask,
-                )
+                if idx._mesh is not None:
+                    # mesh mode: cluster-partitioned shards + all_gather
+                    # merge (parallel/ivf.py); layout built once per mesh
+                    ivals, irows = self._sharded_ivf(idx._mesh).search(
+                        np.asarray(q, np.float32), k, idx._mesh,
+                        nprobe=np_probe, q_block=self.cfg.ivf_q_block,
+                        query_mask=qmask,
+                    )
+                else:
+                    ivals, irows = self.ivf.search(
+                        np.asarray(q, np.float32), k, nprobe=np_probe,
+                        q_block=self.cfg.ivf_q_block, query_mask=qmask,
+                    )
 
             def finish_ivf() -> tuple[np.ndarray, np.ndarray]:
                 return ivals[:qn_real], irows[:qn_real]
@@ -243,6 +252,18 @@ class SearchEngine:
                 return b
         # beyond the largest bucket, round up to a multiple of 128
         return ((qn + 127) // 128) * 128
+
+    def _sharded_ivf(self, mesh):
+        """Lazy cluster-partitioned layout for mesh-mode IVF (rebuilt if
+        the engine's index moves to a different mesh)."""
+        from arxiv_rag_tpu.parallel.ivf import ShardedIVF
+
+        nd = mesh.devices.size
+        cached = getattr(self, "_sharded_ivf_cache", None)
+        if cached is None or cached.nd != nd:
+            cached = ShardedIVF.build(self.ivf, nd)
+            self._sharded_ivf_cache = cached
+        return cached
 
     def _qmask(self, categories: Sequence[str] | None, qn: int) -> np.ndarray:
         bits = self.index.category_mask(categories)

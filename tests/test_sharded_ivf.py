@@ -154,3 +154,30 @@ def test_ragged_query_count(blob_data):
     ov, oi = cosine_topk_numpy(rows, queries[:5], K)
     r = recall_at_k(rids, oi, ov, tie_tol=1e-5, candidate_scores=vals)
     assert r == 1.0
+
+
+def test_engine_mesh_routes_through_sharded_ivf(blob_data):
+    """A mesh-sharded engine with an IVF delta and nprobe>0 serves
+    through the cluster-partitioned route and matches the single-chip
+    engine's IVF results at full probe."""
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    rows, queries, cats = blob_data
+    dense, ivf = _ivf(rows, dtype="int8", cats=cats)
+    single = SearchEngine(dense, ivf=ivf, use_pallas=False)
+    sv, sr = single.search_embeddings(queries, K, nprobe=NC)
+
+    dense2, ivf2 = _ivf(rows, dtype="int8", cats=cats)
+    dense2.to_device(mesh=data_mesh(8), row_multiple=BR)
+    meshed = SearchEngine(dense2, ivf=ivf2, use_pallas=False)
+    mv, mr = meshed.search_embeddings(queries, K, nprobe=NC)
+    assert hasattr(meshed, "_sharded_ivf_cache")  # routed through the mesh path
+    r = recall_at_k(mr, sr, sv, tie_tol=1e-4, candidate_scores=mv)
+    assert r == 1.0
+    np.testing.assert_allclose(mv, sv, atol=1e-3, rtol=1e-3)
+
+    # category filter through the mesh IVF route
+    cv, cr = meshed.search_embeddings(queries, K, categories=["cs.CV"],
+                                      nprobe=NC)
+    keep = np.flatnonzero(np.asarray(cats) == "cs.CV")
+    assert np.isin(cr, keep).all()
