@@ -562,7 +562,10 @@ def _build_engine(args):
     if IVFIndex.exists(args.index):
         # the delta is small on disk; the load re-permutes dense rows
         ivf = IVFIndex.load(args.index, idx)
-        if rcfg.nprobe:
+        if rcfg.nprobe and not getattr(args, "shard", False):
+            # single-chip placement only: the mesh route builds its own
+            # cluster-partitioned layout (engine._sharded_ivf), so the
+            # replicated upload here would be multi-GB dead weight
             ivf.to_device()
     if getattr(args, "shard", False):
         from arxiv_rag_tpu.parallel import data_mesh, init_distributed
