@@ -164,6 +164,11 @@ class RetrievalConfig:
     # its queries' probed clusters, so small tiles keep the prune tight
     # (see index/ivf.py docstring for the batching analysis)
     ivf_q_block: int = 8
+    # "device" fuses probe + block planning + the pruned scan into one
+    # dispatch (no host sync — the host path fetches probe results
+    # before it can plan, one full tunnel RTT per call, IVF_r04.json);
+    # "host" keeps the exact-union host planner (also the mesh route)
+    ivf_plan: str = "device"
 
 
 @dataclass(frozen=True)

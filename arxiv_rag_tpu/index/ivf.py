@@ -41,7 +41,9 @@ import numpy as np
 from arxiv_rag_tpu.logging_utils import get_logger
 from arxiv_rag_tpu.ops.kmeans import assign_clusters, spherical_kmeans
 from arxiv_rag_tpu.ops.pallas_ivf import (
+    cluster_block_table,
     ivf_topk,
+    ivf_topk_device,
     ivf_topk_int8,
     ivf_topk_int8_masked,
     ivf_topk_masked,
@@ -80,6 +82,7 @@ class IVFIndex:
     _device_scales: jax.Array | None = None
     _device_masks: jax.Array | None = None
     _device_centroids: jax.Array | None = None
+    _device_cb: jax.Array | None = None  # [C, maxb] cluster→block table
 
     @property
     def n_clusters(self) -> int:
@@ -243,6 +246,11 @@ class IVFIndex:
                 jnp.asarray(self.row_masks.astype(np.int32))
             )
         self._device_centroids = jax.device_put(jnp.asarray(self.centroids))
+        self._device_cb = jax.device_put(
+            jnp.asarray(
+                cluster_block_table(self.offsets, self.block_rows, self.dead_block)
+            )
+        )
         return self
 
     # -- probe planning --------------------------------------------------
@@ -275,8 +283,9 @@ class IVFIndex:
         for t in range(tiles):
             cl = np.unique(cluster_ids[t * q_block : (t + 1) * q_block])
             cl = cl[(cl >= 0) & (cl < self.n_clusters)]
+            cl = cl[off[cl + 1] > off[cl]]  # empty clusters cover nothing
             starts = off[cl] // br
-            ends = -(-off[cl + 1] // br)  # ceil; empty cluster -> end<=start
+            ends = -(-off[cl + 1] // br)  # ceil
             blocks = np.unique(
                 np.concatenate(
                     [np.arange(s, e) for s, e in zip(starts, ends)]
@@ -306,10 +315,17 @@ class IVFIndex:
         q_block: int = 8,
         query_mask: np.ndarray | None = None,
         interpret: bool | None = None,
+        plan: str = "host",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Cluster-pruned top-k. Returns (scores [Q,k], ORIGINAL dense
         row ids [Q,k]; unfilled slots -1). ``query_mask`` ([Q] uint32)
-        enables exact category filtering inside the probed blocks."""
+        enables exact category filtering inside the probed blocks.
+
+        ``plan="device"`` fuses probe + block planning + the pruned scan
+        into ONE dispatch (no host synchronization — the host path pays
+        a full tunnel round trip fetching probe results before it can
+        plan, IVF_r04.json). Covers the same candidate rows, so results
+        match the host planner exactly."""
         if self._device_values is None:
             self.to_device()
         q = np.asarray(queries, np.float32)
@@ -324,12 +340,20 @@ class IVFIndex:
                     [query_mask, np.repeat(query_mask[-1:], pad)]
                 )
         qd = jnp.asarray(q)
-        cids = self.probe(qd, nprobe)
-        table = self.plan_blocks(cids, q_block)
-        vals, local = self._search_table(
-            qd, table, k, n_valid=self.n_valid, block_rows=self.block_rows,
-            q_block=q_block, query_mask=query_mask, interpret=interpret,
-        )
+        if plan == "device":
+            vals, local = self._search_device(
+                qd, k, nprobe=nprobe, q_block=q_block,
+                query_mask=query_mask, interpret=interpret,
+            )
+        elif plan == "host":
+            cids = self.probe(qd, nprobe)
+            table = self.plan_blocks(cids, q_block)
+            vals, local = self._search_table(
+                qd, table, k, n_valid=self.n_valid, block_rows=self.block_rows,
+                q_block=q_block, query_mask=query_mask, interpret=interpret,
+            )
+        else:
+            raise ValueError(f"unknown plan mode {plan!r}")
         vals = np.asarray(vals)[:qn]
         local = np.asarray(local)[:qn]
         rows = np.where(
@@ -338,6 +362,35 @@ class IVFIndex:
             np.int64(-1),
         )
         return vals, rows
+
+    def _search_device(
+        self,
+        qd: jnp.ndarray,
+        k: int,
+        *,
+        nprobe: int,
+        q_block: int,
+        query_mask: np.ndarray | None = None,
+        interpret: bool | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Single-dispatch device-planned search (device arrays
+        returned un-fetched; LOCAL row ids)."""
+        kw: dict = {}
+        if query_mask is not None:
+            if self._device_masks is None:
+                raise ValueError("IVF index has no row masks; rebuild with categories")
+            kw["row_masks"] = self._device_masks
+            kw["query_mask"] = jnp.asarray(
+                np.asarray(query_mask).astype(np.int32)
+            )
+        if self.dtype == "int8":
+            kw["scales"] = self._device_scales
+        return ivf_topk_device(
+            self._device_values, self._device_cb, self._device_centroids,
+            qd, k, nprobe=nprobe, n_valid=self.n_valid,
+            block_rows=self.block_rows, q_block=q_block,
+            interpret=interpret, **kw,
+        )
 
     def _search_table(
         self,

@@ -99,7 +99,12 @@ def _key(name: str, args: tuple, static_kwargs: dict[str, Any],
     if jit_fn is not None:
         parts.append(_code_fingerprint(jit_fn))
     for a in args:
-        parts.append(f"{tuple(a.shape)}:{np.dtype(a.dtype).name}")
+        # None marks an absent optional operand (e.g. the device-planned
+        # IVF jit's scales/masks) — keyed distinctly from any array
+        parts.append(
+            "None" if a is None
+            else f"{tuple(a.shape)}:{np.dtype(a.dtype).name}"
+        )
     for k in sorted(static_kwargs):
         parts.append(f"{k}={static_kwargs[k]}")
     digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
@@ -133,7 +138,10 @@ def _save(key: str, jit_fn, args: tuple, static_kwargs: dict[str, Any]) -> Calla
     try:
         from jax.experimental import serialize_executable as se
 
-        sds = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+        sds = tuple(
+            None if a is None else jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in args
+        )
         t0 = time.perf_counter()
         comp = jit_fn.lower(*sds, **static_kwargs).compile()
         lower_s = time.perf_counter() - t0

@@ -80,6 +80,7 @@ def _build_ivf_call(
     q_block: int,
     max_blocks: int,
     merge_impl: str = "extract",
+    dead_block: int | None = None,
 ):
     if n_rows % block_rows:
         raise ValueError(
@@ -99,6 +100,7 @@ def _build_ivf_call(
         use_int8=use_int8,
         int8_mode="row",
         merge_impl=merge_impl,
+        dead_block=dead_block,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid (1,1)
@@ -367,3 +369,135 @@ def ivf_topk_masked(
              interpret=interpret, merge=_merge),
     )
     return _trim(vals, ids, qn)
+
+
+# -- device-planned IVF: probe + plan + pruned scan in ONE dispatch --------
+#
+# The host-planned path above pays a per-call synchronization the flat
+# kernel never does: fetch the probe results ([Q, nprobe] ids), plan
+# block tables in Python, dispatch. Through a remote-device tunnel that
+# fetch is a full round trip (~30 ms healthy, measured seconds when the
+# link degrades — IVF_r04.json), which swamps the pruned kernel's own
+# 6-10 ms win at 2M rows. Moving the planning INTO the jit removes the
+# sync entirely: centroid top-nprobe, cluster→block expansion through a
+# precomputed [C, max_blocks_per_cluster] table, sort + duplicate-kill
+# (duplicates → dead id, which sorts past every real block id), and the
+# scalar-prefetch kernel all trace into one XLA computation — a single
+# dispatch, pipelinable exactly like the flat scan. The static-width
+# table is dead-padded ~2-4x wider than the host planner's exact union,
+# but dead visits are gated in the kernel (see _topk_kernel's
+# ``dead_block``) and their repeated dead-block DMA is elided by the
+# pipeline's unchanged-block-index check, so padding costs grid
+# bookkeeping only.
+
+
+def cluster_block_table(
+    offsets: np.ndarray, block_rows: int, dead_block: int
+) -> np.ndarray:
+    """[C, maxb] int32: each cluster's covering block ids (ascending),
+    dead-padded. ``maxb`` is the widest cluster's block count — the
+    static expansion factor of the device planner."""
+    off = np.asarray(offsets, np.int64)
+    lo = off[:-1] // block_rows
+    hi = -(-off[1:] // block_rows)  # exclusive
+    counts = np.where(off[1:] > off[:-1], np.maximum(hi - lo, 0), 0)
+    maxb = max(1, int(counts.max()))
+    steps = np.arange(maxb, dtype=np.int64)[None, :]
+    table = lo[:, None] + steps
+    table = np.where(steps < counts[:, None], table, dead_block)
+    return table.astype(np.int32)
+
+
+def _device_plan(cids, cb, dead: int, q_block: int, width: int):
+    """[tiles, width] block table, traced: gather each tile's clusters'
+    covering blocks, sort, kill duplicates (dup → dead id, re-sort —
+    dead is the LARGEST block id so reals stay ascending up front,
+    preserving the merge's earlier-visited-wins tie contract)."""
+    qn = cids.shape[0]
+    tiles = qn // q_block
+    blocks = cb[cids.reshape(tiles, -1)]  # [tiles, q_block*nprobe, maxb]
+    flat = jnp.sort(blocks.reshape(tiles, -1), axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((tiles, 1), bool), flat[:, 1:] == flat[:, :-1]], axis=1
+    )
+    flat = jnp.sort(jnp.where(dup, dead, flat), axis=1)
+    return flat[:, :width]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "nprobe", "block_rows", "q_block", "width", "dead",
+        "interpret", "merge",
+    ),
+)
+def _ivf_topk_device_jit(
+    values, cb, centroids, queries, nvalid, scales, row_masks, query_mask,
+    k, nprobe, block_rows, q_block, width, dead, interpret, merge="extract",
+):
+    from arxiv_rag_tpu.ops.topk import flat_search
+
+    queries = queries.astype(jnp.float32)
+    qn, d = queries.shape
+    _, cids = flat_search(centroids, queries, nprobe)
+    table = _device_plan(cids, cb, dead, q_block, width)
+    use_int8 = scales is not None
+    use_mask = row_masks is not None
+    call = _build_ivf_call(
+        values.shape[0], d, qn, k, block_rows, values.dtype, use_mask,
+        use_int8, interpret, q_block, width, merge_impl=merge,
+        dead_block=dead,
+    )
+    args = [table, nvalid, queries, values]
+    if use_int8:
+        args.append(scales.reshape(1, -1))
+    if use_mask:
+        args.append(row_masks.reshape(1, -1).astype(jnp.int32))
+        args.append(query_mask.reshape(-1, 1).astype(jnp.int32))
+    return call(*args)
+
+
+def ivf_topk_device(
+    values: jnp.ndarray,
+    cb: jnp.ndarray,
+    centroids: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    nprobe: int,
+    n_valid: int,
+    block_rows: int,
+    q_block: int = 8,
+    scales: jnp.ndarray | None = None,
+    row_masks: jnp.ndarray | None = None,
+    query_mask: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    _merge: str = "extract",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully device-resident IVF top-k: one dispatch, no host planning.
+
+    ``cb`` is :func:`cluster_block_table` on device; ``queries`` must
+    already be padded to a ``q_block`` multiple (callers replicate the
+    last query so pad tiles share its probe set). Covers exactly the
+    same candidate rows as the host planner (the union of the probed
+    clusters' covering blocks), so results match ``ivf_topk*`` exactly.
+    Returns (values [Q,k], LOCAL row ids [Q,k]).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    qn = queries.shape[0]
+    if qn % q_block:
+        raise ValueError(f"query count {qn} not a multiple of q_block {q_block}")
+    n_blocks = values.shape[0] // block_rows
+    dead = n_blocks - 1
+    nprobe = min(nprobe, cb.shape[0])
+    width = max(1, min(q_block * nprobe * cb.shape[1], n_blocks - 1))
+    nvalid = np.full((1, 1), n_valid, np.int32)
+    vals, ids = _aot_or_jit(
+        "ivf_topk_device", _ivf_topk_device_jit,
+        (values, cb, centroids, queries, nvalid, scales, row_masks,
+         query_mask),
+        dict(k=k, nprobe=nprobe, block_rows=block_rows, q_block=q_block,
+             width=width, dead=dead, interpret=interpret, merge=_merge),
+    )
+    return vals, ids

@@ -79,6 +79,7 @@ def _topk_kernel(
     merge_impl: str = "extract",
     _blkids_ref=None,  # IVF mode: SMEM [n_qtiles, max_blocks] block-id table
     q_f32_cast: bool = False,  # queries resident as f32, cast per-slice
+    dead_block: int | None = None,  # device-planned IVF: gate dead visits
 ):
     if use_int8:
         scales_ref = rest[0]  # [1, BN] f32 row scales
@@ -125,243 +126,256 @@ def _topk_kernel(
         svals_ref[srows, :] = jnp.full((qn, LANES), NEG_INF, jnp.float32)
         sidx_ref[srows, :] = jnp.full((qn, LANES), -1, jnp.int32)
 
-    # ---- score the block on the MXU (fp32 accumulation) ----
-    if use_int8 and int8_mode == "s8s8":
-        # both operands int8: the MXU's native s8xs8->s32 path (double
-        # MAC rate on v5e). Only the per-ROW scale applies here: the
-        # per-QUERY scale is constant along the row axis, so it is a
-        # monotonic per-query transform that cannot change any ranking —
-        # it moves OUT of the per-block hot loop and multiplies the
-        # [Q, k] scratch once at finalize (round 4: one fewer [QB, BN]
-        # elementwise operand in the 489-blocks-per-call stream).
-        raw = jax.lax.dot_general(
-            q,
-            x_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        scores = raw.astype(jnp.float32) * scales_ref[:]
-    elif use_int8 and int8_mode == "nodequant":
-        # PERF PROBE ONLY (recall-broken): same stream, no [QB,BN] scale
-        # pass — isolates the VPU dequant cost from the HBM stream
-        scores = jax.lax.dot_general(
-            q.astype(jnp.bfloat16),
-            x_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    elif use_int8:
-        # int8 STORAGE, bf16 COMPUTE: the index streams at half the
-        # bytes; int8 values are exact in bf16 (8 significand bits),
-        # queries stay bf16 (no query quantization error). The s8
-        # operand goes to dot_general UNCONVERTED — Mosaic folds the
-        # widening into the MXU feed; an explicit .astype(bf16) ran a
-        # separate VPU pass over every block (A/B on 2M rows: 920 vs
-        # 860 qps, identical results). Still faster than int8×int8→s32
-        # with its post-hoc double rescale (round-1 measurement).
-        raw = jax.lax.dot_general(
-            q.astype(jnp.bfloat16),
-            x_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        scores = raw * scales_ref[:]  # [1,BN] per-row dequant
-    else:
-        from arxiv_rag_tpu.ops.topk import matmul_precision
-
-        scores = jax.lax.dot_general(
-            q,
-            x_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=matmul_precision(x_ref.dtype),
-        )
-
-    # [1, BN] column/global-row ids — identical for every query row, so
-    # keep one row and let broadcasting widen ([qn, BN] iotas wasted VPU
-    # registers and VMEM)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
-    gidx = cols + blk * block_rows  # global row ids of this block
-
-    valid = gidx < nvalid_ref[0, 0]
-    if use_mask:
-        eligible = (rowmask_ref[:] & qmask_ref[srows, :]) != 0  # [1,BN]&[QB,1]→[QB,BN]
-        valid = jnp.logical_and(valid, eligible)
-    scores = jnp.where(valid, scores, NEG_INF)
-
-    # ---- fast path: skip merge when no query in this tile improves ----
-    block_max = jnp.max(scores, axis=1, keepdims=True)  # [QB,1]
-    kth = svals_ref[srows, k - 1 : k]  # [QB,1] current k-th best
-    if merge_impl == "none":
-        # PERF PROBE ONLY (output is the init scratch, recall broken):
-        # isolates scan+score+reduce cost from the merge entirely
-        needs_merge = block_max[0, 0] < kth[0, 0]
-    else:
-        needs_merge = jnp.any(block_max > kth)
-
-    @pl.when(needs_merge)
-    def _merge():
-        # Early-exit extract/insert merge. The scratch is kept SORTED
-        # (descending; init satisfies this), so merging a block is:
-        # while any query's remaining block max beats its current k-th
-        # score, extract that max (lowest column wins ties → matches
-        # lax.top_k order) and shift-insert it into the sorted scratch.
-        # A query inserts at most k times per block, and on random data
-        # the expected trip count is 1-3.
-        # MEASURED DEAD END (2026-08-16): gating per 8-query subgroup
-        # (scores staged to VMEM scratch, fori_loop of scalar-gated [8,BN]
-        # merges) to exploit the ~2% steady-state per-query improve odds
-        # was ~14% SLOWER at Q=512 (7035 vs 8186 qps) — the scratch
-        # round-trip plus 16 sequential scalar branches cost more than
-        # the [QB,BN] VPU passes they avoided. Keep the tile-level merge.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
-
-        def insert(sv, si, m, g, improve):
-            # insertion rank: after existing >= entries (earlier blocks /
-            # earlier extractions have smaller global ids, so ties keep
-            # lax.top_k's lowest-index-first order)
-            pos = jnp.sum((sv >= m).astype(jnp.int32), axis=1, keepdims=True)
-            shifted_v = jnp.concatenate([sv[:, :1], sv[:, :-1]], axis=1)
-            shifted_i = jnp.concatenate([si[:, :1], si[:, :-1]], axis=1)
-            nv = jnp.where(lane < pos, sv, jnp.where(lane == pos, m, shifted_v))
-            ni = jnp.where(lane < pos, si, jnp.where(lane == pos, g, shifted_i))
-            return (
-                jnp.where(improve, nv, sv),
-                jnp.where(improve, ni, si),
+    # Device-planned IVF tables are dead-padded to a static width;
+    # a dead visit's rows all sit past n_valid (scores would be
+    # -inf and the merge self-skips), but the matmul + masking
+    # passes are NOT free at thousands of pad visits per call —
+    # gate the whole scoring body so a dead step costs only the
+    # grid bookkeeping (its repeated dead-block DMA is elided by
+    # the pipeline's unchanged-block-index check).
+    def _visit():
+        # ---- score the block on the MXU (fp32 accumulation) ----
+        if use_int8 and int8_mode == "s8s8":
+            # both operands int8: the MXU's native s8xs8->s32 path (double
+            # MAC rate on v5e). Only the per-ROW scale applies here: the
+            # per-QUERY scale is constant along the row axis, so it is a
+            # monotonic per-query transform that cannot change any ranking —
+            # it moves OUT of the per-block hot loop and multiplies the
+            # [Q, k] scratch once at finalize (round 4: one fewer [QB, BN]
+            # elementwise operand in the 489-blocks-per-call stream).
+            raw = jax.lax.dot_general(
+                q,
+                x_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
             )
-
-        if merge_impl == "staged":
-            # STAGED extraction — MEASURED NEUTRAL (round 3, amortized
-            # A/B on 2M rows): int8@Q=512 18.36 ms BOTH impls, bf16
-            # 32.6 extract vs 34.0 staged. The hypothesis (merge's ~5
-            # full [QB,BN] passes per extraction dominate Q=512) was
-            # WRONG — Mosaic evidently keeps the extract loop cheap, so
-            # the Q=512 gap over the read floor is matmul + scoring
-            # passes + grid overhead, not the merge. Kept selectable +
-            # tested (tie-exact vs extract) as the experiment record;
-            # do not flip the default without new evidence.
-            # Design: stage per-128-lane-group maxes once ([QB, G], one
-            # full pass), run the extraction loop on that small array,
-            # and gather only the winning group's lanes per iteration
-            # (one full pass). Tie-break parity: groups cover ascending
-            # column ranges, so min-group-then-min-lane == min-column.
-            n_groups = block_rows // LANES
-            qn_ = scores.shape[0]
-            gcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
-            llane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-            segs = [
-                scores[:, g * LANES : (g + 1) * LANES] for g in range(n_groups)
-            ]
-            gmax = jnp.concatenate(
-                [jnp.max(s, axis=1, keepdims=True) for s in segs], axis=1
-            )  # [QB, G]
-
-            def cond(state):
-                gmax, cur_g, cur_gathered, sv, si, m = state
-                return jnp.any(m > sv[:, k - 1 : k])
-
-            def body(state):
-                gmax, cur_g, cur_gathered, sv, si, m = state
-                at_g = gmax == m
-                sel_g = jnp.min(
-                    jnp.where(at_g, gcols, _HUGE_COL), axis=1, keepdims=True
-                )  # [QB,1]
-                # gather the selected group's lanes: G row-wise selects
-                # of [QB, 128] = one full [QB, BN]-equivalent pass
-                fresh = jnp.full((qn_, LANES), NEG_INF, jnp.float32)
-                for g in range(n_groups):
-                    fresh = jnp.where(sel_g == g, segs[g], fresh)
-                # duplicate-safe reuse: a re-gathered ORIGINAL segment
-                # still holds previously extracted lanes, so an in-group
-                # duplicate of the current max would be re-extracted
-                # forever. The only way a group can be re-selected while
-                # an extracted value still EQUALS its remaining max is
-                # consecutively (leaving a group requires its remaining
-                # max to drop strictly below the extracted value) — so
-                # carrying the masked copy per query and reusing it when
-                # sel_g == cur_g covers every duplicate case.
-                gathered = jnp.where(sel_g == cur_g, cur_gathered, fresh)
-                # a FRESH re-gather of a previously visited group still
-                # holds stale extracted lanes; those are strictly > m
-                # (we only leave a group when its remaining max drops
-                # strictly below every value extracted from it), so
-                # clamping >m to -inf removes exactly the stale lanes —
-                # ==m lanes are genuine duplicates (the consecutive-
-                # reuse case above keeps those correct)
-                gathered = jnp.where(gathered > m, NEG_INF, gathered)
-                hit_l = gathered == m
-                sel_l = jnp.min(
-                    jnp.where(hit_l, llane, _HUGE_COL), axis=1, keepdims=True
-                )
-                col = sel_g * LANES + sel_l
-                gid = col + blk * block_rows
-                improve = m > sv[:, k - 1 : k]
-                sv, si = insert(sv, si, m, gid, improve)
-                # mask the extracted lane, refresh that group's max
-                masked = jnp.where(llane == sel_l, NEG_INF, gathered)
-                new_gmax = jnp.max(masked, axis=1, keepdims=True)
-                gmax = jnp.where((gcols == sel_g) & improve, new_gmax, gmax)
-                cur_gathered = jnp.where(improve, masked, gathered)
-                return (gmax, sel_g, cur_gathered, sv, si,
-                        jnp.max(gmax, axis=1, keepdims=True))
-
-            qn_ = scores.shape[0]
-            _, _, _, sv, si, _ = jax.lax.while_loop(
-                cond, body,
-                (
-                    gmax,
-                    jnp.full((qn_, 1), -1, jnp.int32),
-                    jnp.full((qn_, LANES), NEG_INF, jnp.float32),
-                    svals_ref[srows, :],
-                    sidx_ref[srows, :],
-                    block_max,
-                ),
+            scores = raw.astype(jnp.float32) * scales_ref[:]
+        elif use_int8 and int8_mode == "nodequant":
+            # PERF PROBE ONLY (recall-broken): same stream, no [QB,BN] scale
+            # pass — isolates the VPU dequant cost from the HBM stream
+            scores = jax.lax.dot_general(
+                q.astype(jnp.bfloat16),
+                x_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+        elif use_int8:
+            # int8 STORAGE, bf16 COMPUTE: the index streams at half the
+            # bytes; int8 values are exact in bf16 (8 significand bits),
+            # queries stay bf16 (no query quantization error). The s8
+            # operand goes to dot_general UNCONVERTED — Mosaic folds the
+            # widening into the MXU feed; an explicit .astype(bf16) ran a
+            # separate VPU pass over every block (A/B on 2M rows: 920 vs
+            # 860 qps, identical results). Still faster than int8×int8→s32
+            # with its post-hoc double rescale (round-1 measurement).
+            raw = jax.lax.dot_general(
+                q.astype(jnp.bfloat16),
+                x_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = raw * scales_ref[:]  # [1,BN] per-row dequant
         else:
-            # "extract" or "extractN": N max-extractions per while-loop
-            # trip (bitwise-exact: the body is a fixed point once every
-            # query is done — ``improve`` gates the insert and mv masking,
-            # so extra trips are vector no-ops). MEASURED DEAD END
-            # (2026-08-17, amortized Q=512 on 2M): monotonically WORSE —
-            # int8 19.2 (x1) → 25.5 (x4) → 35.9 ms (x8). The merge cost
-            # is per-BODY VPU traffic (~1 us ≈ one [QB,BN] sweep per
-            # iteration), NOT the cond's scalar sync, so over-stepping
-            # pays full price for no-op bodies. x1 (= "extract") is the
-            # minimum-body-count member of this family; keep it the
-            # default. See CLAUDE.md "Q=512 fused-kernel cost
-            # decomposition" for the full model.
-            if not merge_impl.startswith("extract"):
-                raise ValueError(f"unknown merge_impl {merge_impl!r}")
-            unroll = int(merge_impl[7:] or "1")
+            from arxiv_rag_tpu.ops.topk import matmul_precision
 
-            def cond(state):
-                mv, sv, si, m = state
-                return jnp.any(m > sv[:, k - 1 : k])
-
-            def body(state):
-                mv, sv, si, m = state
-                at_max = mv == m
-                sel_col = jnp.min(
-                    jnp.where(at_max, cols, _HUGE_COL), axis=1, keepdims=True
-                )
-                hit = cols == sel_col  # [1,BN]==[QB,1] → [QB,BN]
-                g = jnp.sum(jnp.where(hit, gidx, 0), axis=1, keepdims=True)
-                improve = m > sv[:, k - 1 : k]  # [QB,1] per-query gate
-                sv, si = insert(sv, si, m, g, improve)
-                mv = jnp.where(hit & improve, NEG_INF, mv)
-                return mv, sv, si, jnp.max(mv, axis=1, keepdims=True)
-
-            def body_n(state):
-                for _ in range(unroll):
-                    state = body(state)
-                return state
-
-            _, sv, si, _ = jax.lax.while_loop(
-                cond, body_n,
-                (scores, svals_ref[srows, :], sidx_ref[srows, :], block_max),
+            scores = jax.lax.dot_general(
+                q,
+                x_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(x_ref.dtype),
             )
-        svals_ref[srows, :] = sv
-        sidx_ref[srows, :] = si
+
+        # [1, BN] column/global-row ids — identical for every query row, so
+        # keep one row and let broadcasting widen ([qn, BN] iotas wasted VPU
+        # registers and VMEM)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+        gidx = cols + blk * block_rows  # global row ids of this block
+
+        valid = gidx < nvalid_ref[0, 0]
+        if use_mask:
+            eligible = (rowmask_ref[:] & qmask_ref[srows, :]) != 0  # [1,BN]&[QB,1]→[QB,BN]
+            valid = jnp.logical_and(valid, eligible)
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        # ---- fast path: skip merge when no query in this tile improves ----
+        block_max = jnp.max(scores, axis=1, keepdims=True)  # [QB,1]
+        kth = svals_ref[srows, k - 1 : k]  # [QB,1] current k-th best
+        if merge_impl == "none":
+            # PERF PROBE ONLY (output is the init scratch, recall broken):
+            # isolates scan+score+reduce cost from the merge entirely
+            needs_merge = block_max[0, 0] < kth[0, 0]
+        else:
+            needs_merge = jnp.any(block_max > kth)
+
+        @pl.when(needs_merge)
+        def _merge():
+            # Early-exit extract/insert merge. The scratch is kept SORTED
+            # (descending; init satisfies this), so merging a block is:
+            # while any query's remaining block max beats its current k-th
+            # score, extract that max (lowest column wins ties → matches
+            # lax.top_k order) and shift-insert it into the sorted scratch.
+            # A query inserts at most k times per block, and on random data
+            # the expected trip count is 1-3.
+            # MEASURED DEAD END (2026-08-16): gating per 8-query subgroup
+            # (scores staged to VMEM scratch, fori_loop of scalar-gated [8,BN]
+            # merges) to exploit the ~2% steady-state per-query improve odds
+            # was ~14% SLOWER at Q=512 (7035 vs 8186 qps) — the scratch
+            # round-trip plus 16 sequential scalar branches cost more than
+            # the [QB,BN] VPU passes they avoided. Keep the tile-level merge.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
+
+            def insert(sv, si, m, g, improve):
+                # insertion rank: after existing >= entries (earlier blocks /
+                # earlier extractions have smaller global ids, so ties keep
+                # lax.top_k's lowest-index-first order)
+                pos = jnp.sum((sv >= m).astype(jnp.int32), axis=1, keepdims=True)
+                shifted_v = jnp.concatenate([sv[:, :1], sv[:, :-1]], axis=1)
+                shifted_i = jnp.concatenate([si[:, :1], si[:, :-1]], axis=1)
+                nv = jnp.where(lane < pos, sv, jnp.where(lane == pos, m, shifted_v))
+                ni = jnp.where(lane < pos, si, jnp.where(lane == pos, g, shifted_i))
+                return (
+                    jnp.where(improve, nv, sv),
+                    jnp.where(improve, ni, si),
+                )
+
+            if merge_impl == "staged":
+                # STAGED extraction — MEASURED NEUTRAL (round 3, amortized
+                # A/B on 2M rows): int8@Q=512 18.36 ms BOTH impls, bf16
+                # 32.6 extract vs 34.0 staged. The hypothesis (merge's ~5
+                # full [QB,BN] passes per extraction dominate Q=512) was
+                # WRONG — Mosaic evidently keeps the extract loop cheap, so
+                # the Q=512 gap over the read floor is matmul + scoring
+                # passes + grid overhead, not the merge. Kept selectable +
+                # tested (tie-exact vs extract) as the experiment record;
+                # do not flip the default without new evidence.
+                # Design: stage per-128-lane-group maxes once ([QB, G], one
+                # full pass), run the extraction loop on that small array,
+                # and gather only the winning group's lanes per iteration
+                # (one full pass). Tie-break parity: groups cover ascending
+                # column ranges, so min-group-then-min-lane == min-column.
+                n_groups = block_rows // LANES
+                qn_ = scores.shape[0]
+                gcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
+                llane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                segs = [
+                    scores[:, g * LANES : (g + 1) * LANES] for g in range(n_groups)
+                ]
+                gmax = jnp.concatenate(
+                    [jnp.max(s, axis=1, keepdims=True) for s in segs], axis=1
+                )  # [QB, G]
+
+                def cond(state):
+                    gmax, cur_g, cur_gathered, sv, si, m = state
+                    return jnp.any(m > sv[:, k - 1 : k])
+
+                def body(state):
+                    gmax, cur_g, cur_gathered, sv, si, m = state
+                    at_g = gmax == m
+                    sel_g = jnp.min(
+                        jnp.where(at_g, gcols, _HUGE_COL), axis=1, keepdims=True
+                    )  # [QB,1]
+                    # gather the selected group's lanes: G row-wise selects
+                    # of [QB, 128] = one full [QB, BN]-equivalent pass
+                    fresh = jnp.full((qn_, LANES), NEG_INF, jnp.float32)
+                    for g in range(n_groups):
+                        fresh = jnp.where(sel_g == g, segs[g], fresh)
+                    # duplicate-safe reuse: a re-gathered ORIGINAL segment
+                    # still holds previously extracted lanes, so an in-group
+                    # duplicate of the current max would be re-extracted
+                    # forever. The only way a group can be re-selected while
+                    # an extracted value still EQUALS its remaining max is
+                    # consecutively (leaving a group requires its remaining
+                    # max to drop strictly below the extracted value) — so
+                    # carrying the masked copy per query and reusing it when
+                    # sel_g == cur_g covers every duplicate case.
+                    gathered = jnp.where(sel_g == cur_g, cur_gathered, fresh)
+                    # a FRESH re-gather of a previously visited group still
+                    # holds stale extracted lanes; those are strictly > m
+                    # (we only leave a group when its remaining max drops
+                    # strictly below every value extracted from it), so
+                    # clamping >m to -inf removes exactly the stale lanes —
+                    # ==m lanes are genuine duplicates (the consecutive-
+                    # reuse case above keeps those correct)
+                    gathered = jnp.where(gathered > m, NEG_INF, gathered)
+                    hit_l = gathered == m
+                    sel_l = jnp.min(
+                        jnp.where(hit_l, llane, _HUGE_COL), axis=1, keepdims=True
+                    )
+                    col = sel_g * LANES + sel_l
+                    gid = col + blk * block_rows
+                    improve = m > sv[:, k - 1 : k]
+                    sv, si = insert(sv, si, m, gid, improve)
+                    # mask the extracted lane, refresh that group's max
+                    masked = jnp.where(llane == sel_l, NEG_INF, gathered)
+                    new_gmax = jnp.max(masked, axis=1, keepdims=True)
+                    gmax = jnp.where((gcols == sel_g) & improve, new_gmax, gmax)
+                    cur_gathered = jnp.where(improve, masked, gathered)
+                    return (gmax, sel_g, cur_gathered, sv, si,
+                            jnp.max(gmax, axis=1, keepdims=True))
+
+                qn_ = scores.shape[0]
+                _, _, _, sv, si, _ = jax.lax.while_loop(
+                    cond, body,
+                    (
+                        gmax,
+                        jnp.full((qn_, 1), -1, jnp.int32),
+                        jnp.full((qn_, LANES), NEG_INF, jnp.float32),
+                        svals_ref[srows, :],
+                        sidx_ref[srows, :],
+                        block_max,
+                    ),
+                )
+            else:
+                # "extract" or "extractN": N max-extractions per while-loop
+                # trip (bitwise-exact: the body is a fixed point once every
+                # query is done — ``improve`` gates the insert and mv masking,
+                # so extra trips are vector no-ops). MEASURED DEAD END
+                # (2026-08-17, amortized Q=512 on 2M): monotonically WORSE —
+                # int8 19.2 (x1) → 25.5 (x4) → 35.9 ms (x8). The merge cost
+                # is per-BODY VPU traffic (~1 us ≈ one [QB,BN] sweep per
+                # iteration), NOT the cond's scalar sync, so over-stepping
+                # pays full price for no-op bodies. x1 (= "extract") is the
+                # minimum-body-count member of this family; keep it the
+                # default. See CLAUDE.md "Q=512 fused-kernel cost
+                # decomposition" for the full model.
+                if not merge_impl.startswith("extract"):
+                    raise ValueError(f"unknown merge_impl {merge_impl!r}")
+                unroll = int(merge_impl[7:] or "1")
+
+                def cond(state):
+                    mv, sv, si, m = state
+                    return jnp.any(m > sv[:, k - 1 : k])
+
+                def body(state):
+                    mv, sv, si, m = state
+                    at_max = mv == m
+                    sel_col = jnp.min(
+                        jnp.where(at_max, cols, _HUGE_COL), axis=1, keepdims=True
+                    )
+                    hit = cols == sel_col  # [1,BN]==[QB,1] → [QB,BN]
+                    g = jnp.sum(jnp.where(hit, gidx, 0), axis=1, keepdims=True)
+                    improve = m > sv[:, k - 1 : k]  # [QB,1] per-query gate
+                    sv, si = insert(sv, si, m, g, improve)
+                    mv = jnp.where(hit & improve, NEG_INF, mv)
+                    return mv, sv, si, jnp.max(mv, axis=1, keepdims=True)
+
+                def body_n(state):
+                    for _ in range(unroll):
+                        state = body(state)
+                    return state
+
+                _, sv, si, _ = jax.lax.while_loop(
+                    cond, body_n,
+                    (scores, svals_ref[srows, :], sidx_ref[srows, :], block_max),
+                )
+            svals_ref[srows, :] = sv
+            sidx_ref[srows, :] = si
+
+    if dead_block is None:
+        _visit()
+    else:
+        pl.when(blk != dead_block)(_visit)
 
     @pl.when(step == num_steps - 1)
     def _finalize():

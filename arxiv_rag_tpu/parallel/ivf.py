@@ -139,6 +139,7 @@ class ShardedIVF:
         for t in range(tiles):
             cl = np.unique(cluster_ids[t * q_block : (t + 1) * q_block])
             cl = cl[(cl >= 0) & (cl < self.ivf.n_clusters)]
+            cl = cl[off[cl + 1] > off[cl]]  # empty clusters cover nothing
             shard_of = np.searchsorted(cuts, cl, side="right") - 1
             for s in range(self.nd):
                 cs = cl[shard_of == s]

@@ -197,6 +197,7 @@ class SearchEngine:
                     ivals, irows = self.ivf.search(
                         np.asarray(q, np.float32), k, nprobe=np_probe,
                         q_block=self.cfg.ivf_q_block, query_mask=qmask,
+                        plan=getattr(self.cfg, "ivf_plan", "device"),
                     )
 
             def finish_ivf() -> tuple[np.ndarray, np.ndarray]:

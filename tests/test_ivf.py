@@ -299,3 +299,42 @@ def test_ivf_load_rejects_mismatched_dense(blob_data, tmp_path):
     other = build_index(index[:500], dtype="float32", normalize=False)
     with pytest.raises(ValueError, match="rebuild"):
         IVFIndex.load(tmp_path, other)
+
+
+def test_device_plan_matches_host_plan(blob_data):
+    """plan="device" (probe + plan + scan fused into one dispatch) must
+    cover exactly the same candidate rows as the host planner, hence
+    identical results — f32, int8, and masked variants."""
+    index, queries, cats = blob_data
+    for dtype in ("float32", "int8"):
+        dense = build_index(index, categories=cats, dtype=dtype, normalize=False)
+        ivf = IVFIndex.build(dense, 16, block_rows=BR, iters=6, seed=3)
+        for nprobe in (2, 5, 16):
+            hv, hr = ivf.search(queries, K, nprobe=nprobe, q_block=QB,
+                                interpret=True, plan="host")
+            dv, dr = ivf.search(queries, K, nprobe=nprobe, q_block=QB,
+                                interpret=True, plan="device")
+            np.testing.assert_array_equal(dr, hr, err_msg=f"{dtype} nprobe={nprobe}")
+            np.testing.assert_allclose(dv, hv, atol=1e-6)
+        # masked route
+        qmask = np.full((queries.shape[0],), dense.category_mask(["cs.CV"]))
+        hv, hr = ivf.search(queries, K, nprobe=16, q_block=QB, interpret=True,
+                            query_mask=qmask, plan="host")
+        dv, dr = ivf.search(queries, K, nprobe=16, q_block=QB, interpret=True,
+                            query_mask=qmask, plan="device")
+        np.testing.assert_array_equal(dr, hr)
+        np.testing.assert_allclose(dv, hv, atol=1e-6)
+
+
+def test_cluster_block_table_contract():
+    from arxiv_rag_tpu.ops.pallas_ivf import cluster_block_table
+
+    offsets = np.array([0, 0, 5, 5, 300, 301], np.int64)  # empty clusters too
+    cb = cluster_block_table(offsets, 128, dead_block=99)
+    assert cb.shape[0] == 5
+    np.testing.assert_array_equal(cb[0], np.full(cb.shape[1], 99))  # empty
+    assert cb[1][0] == 0 and (cb[1][1:] == 99).all()  # rows 0-5 -> block 0
+    assert (cb[2] == 99).all()  # empty
+    row = cb[3]
+    assert list(row[row != 99]) == [0, 1, 2]  # rows 5-300 span blocks 0..2
+    assert cb[4][0] == 2 and (cb[4][1:] == 99).all()  # row 300 -> block 2

@@ -205,6 +205,26 @@ def main() -> None:
             "table_width": int(table.shape[1]),
         }
 
+        # device-planned path: probe + plan + scan in ONE dispatch — no
+        # host sync, so the honest per-call cost is just the amortized
+        # kernel chain (the thing the host path's RTT destroys)
+        dkw = dict(nprobe=nprobe, q_block=q_block)
+        t0 = time.perf_counter()
+        ddv, ddr = ivf._search_device(qd, k, **dkw)
+        ddv, ddr = np.asarray(ddv), np.asarray(ddr)
+        log(f"nprobe={nprobe}: device-plan first call (incl compile) "
+            f"{time.perf_counter()-t0:.1f}s")
+        match = bool(np.array_equal(ddr, ir)) and bool(
+            np.allclose(ddv, iv, atol=1e-4))
+        dev_s = amortize(lambda i: ivf._search_device(qd, k, **dkw))
+        log(f"nprobe={nprobe}: device-plan amortized {dev_s*1e3:.2f} ms "
+            f"-> {q_batch/dev_s:.0f} qps ({flat_s/dev_s:.2f}x flat), "
+            f"match_host={match}")
+        results["per_nprobe"][str(nprobe)]["device_plan"] = {
+            "total_ms": dev_s * 1e3, "qps": q_batch / dev_s,
+            "speedup_vs_flat": flat_s / dev_s, "match_host_plan": match,
+        }
+
     out = {"metric": f"ivf_scale_{rows}x{dim}_int8", "rows": rows,
            "clusters": n_clusters, "q": q_batch, "q_block": q_block,
            "block_rows": block_rows, **results}
