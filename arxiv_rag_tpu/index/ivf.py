@@ -363,6 +363,46 @@ class IVFIndex:
         )
         return vals, rows
 
+    def search_dispatch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        nprobe: int,
+        q_block: int = 8,
+        query_mask: np.ndarray | None = None,
+        interpret: bool | None = None,
+    ):
+        """Device-planned search WITHOUT fetching: returns a
+        ``finish() -> (scores, ORIGINAL rows)`` closure, so callers can
+        pipeline dispatch/fetch exactly like the flat path (the serving
+        micro-batcher's protocol — engine.search_embeddings_dispatch)."""
+        if self._device_values is None:
+            self.to_device()
+        q = np.asarray(queries, np.float32)
+        qn = q.shape[0]
+        pad = (-qn) % q_block
+        if pad:
+            q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])
+            if query_mask is not None:
+                query_mask = np.concatenate(
+                    [query_mask, np.repeat(query_mask[-1:], pad)]
+                )
+        vals, local = self._search_device(
+            jnp.asarray(q), k, nprobe=nprobe, q_block=q_block,
+            query_mask=query_mask, interpret=interpret,
+        )
+
+        def finish() -> tuple[np.ndarray, np.ndarray]:
+            v = np.asarray(vals)[:qn]
+            l = np.asarray(local)[:qn]
+            rows = np.where(
+                l >= 0, self.perm[np.clip(l, 0, self.n_valid - 1)], np.int64(-1)
+            )
+            return v, rows
+
+        return finish
+
     def _search_device(
         self,
         qd: jnp.ndarray,

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float, NOT jnp.float32(...): a concrete jax scalar here would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-process workers (it must run
+# before ANY backend-touching call) — see test_distributed_multiprocess
+NEG_INF = float("-inf")
 
 
 def matmul_precision(dtype) -> jax.lax.Precision:

@@ -184,6 +184,7 @@ class SearchEngine:
                 qmask = np.full(
                     (q.shape[0],), self.index.category_mask(categories), np.uint32
                 )
+            plan = getattr(self.cfg, "ivf_plan", "device")
             with METRICS.timer("search.ivf"):
                 if idx._mesh is not None:
                     # mesh mode: cluster-partitioned shards + all_gather
@@ -193,11 +194,24 @@ class SearchEngine:
                         nprobe=np_probe, q_block=self.cfg.ivf_q_block,
                         query_mask=qmask,
                     )
+                elif plan == "device":
+                    # single dispatch, no host sync: a PURE dispatch like
+                    # the flat route, so serving windows pipeline it
+                    fin = self.ivf.search_dispatch(
+                        np.asarray(q, np.float32), k, nprobe=np_probe,
+                        q_block=self.cfg.ivf_q_block, query_mask=qmask,
+                    )
+
+                    def finish_ivf_dev() -> tuple[np.ndarray, np.ndarray]:
+                        v, r = fin()
+                        return v[:qn_real], r[:qn_real]
+
+                    return finish_ivf_dev
                 else:
                     ivals, irows = self.ivf.search(
                         np.asarray(q, np.float32), k, nprobe=np_probe,
                         q_block=self.cfg.ivf_q_block, query_mask=qmask,
-                        plan=getattr(self.cfg, "ivf_plan", "device"),
+                        plan=plan,
                     )
 
             def finish_ivf() -> tuple[np.ndarray, np.ndarray]:
