@@ -166,8 +166,9 @@ class RetrievalConfig:
     ivf_q_block: int = 8
     # "device" fuses probe + block planning + the pruned scan into one
     # dispatch (no host sync — the host path fetches probe results
-    # before it can plan, one full tunnel RTT per call, IVF_r04.json);
-    # "host" keeps the exact-union host planner (also the mesh route)
+    # before it can plan, one full tunnel RTT per call, IVF_r04.json:
+    # 2.5x the flat scan at 2M); on a mesh the planning traces inside
+    # the shard_map per shard. "host" keeps the exact-union host planner
     ivf_plan: str = "device"
 
 

@@ -167,6 +167,26 @@ class ShardedIVF:
 
     # -- device -----------------------------------------------------------
 
+    def _shard_cluster_blocks(self) -> np.ndarray:
+        """[nd, C, maxb] int32: cluster → covering SHARD-LOCAL block ids
+        on the cluster's home shard, dead elsewhere/for empties — the
+        device planner's expansion table (one gather per probed
+        cluster, same role as ops.pallas_ivf.cluster_block_table)."""
+        off, cuts, starts = self.ivf.offsets, self.cluster_cuts, self.row_starts
+        br = self.block_rows
+        C = self.ivf.n_clusters
+        home = np.searchsorted(cuts, np.arange(C), side="right") - 1
+        lo = (off[:-1] - starts[home]) // br
+        hi = -(-(off[1:] - starts[home]) // br)
+        counts = np.where(off[1:] > off[:-1], np.maximum(hi - lo, 0), 0)
+        maxb = max(1, int(counts.max()))
+        steps = np.arange(maxb, dtype=np.int64)[None, :]
+        blocks = lo[:, None] + steps
+        blocks = np.where(steps < counts[:, None], blocks, self.dead_block)
+        table = np.full((self.nd, C, maxb), self.dead_block, np.int64)
+        table[home, np.arange(C)] = blocks
+        return table.astype(np.int32)
+
     def to_device(self, mesh: Mesh, axis_name: str = DATA_AXIS) -> None:
         """Place the stacked arrays row-sharded on the mesh (one shard
         slice per chip's HBM) and the centroids replicated."""
@@ -179,6 +199,8 @@ class ShardedIVF:
         dev = {"key": key,
                "values": jax.device_put(jnp.asarray(self.values), sh3),
                "centroids": jax.device_put(jnp.asarray(self.ivf.centroids), rep),
+               "cb": jax.device_put(
+                   jnp.asarray(self._shard_cluster_blocks()), sh3),
                "starts": jax.device_put(
                    jnp.asarray(self.row_starts[:-1, None], jnp.int32), sh2),
                "nvalid": jax.device_put(
@@ -211,9 +233,16 @@ class ShardedIVF:
         query_mask: np.ndarray | None = None,
         axis_name: str = DATA_AXIS,
         interpret: bool | None = None,
+        plan: str = "host",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Mesh-wide cluster-pruned top-k. Returns (scores [Q,k],
-        ORIGINAL dense row ids [Q,k]; unfilled slots -1)."""
+        ORIGINAL dense row ids [Q,k]; unfilled slots -1).
+
+        ``plan="device"`` traces the probe and each shard's block
+        planning inside the shard_map (one collective dispatch, no host
+        synchronization — the same rationale as the single-chip
+        device-planned path, IVF_r04.json); covers the same candidate
+        rows per shard, so results match the host planner exactly."""
         if interpret is None:
             interpret = _interpret_default()
         self.to_device(mesh, axis_name)
@@ -227,14 +256,24 @@ class ShardedIVF:
                 query_mask = np.concatenate(
                     [query_mask, np.repeat(query_mask[-1:], pad)])
         qd = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P()))
-        cids = self.probe(qd, nprobe)
-        table = self.plan_blocks(cids, q_block)
-        table_d = jax.device_put(
-            jnp.asarray(table), NamedSharding(mesh, P(axis_name, None, None)))
-        vals, gids = self._dispatch(
-            qd, table_d, k, mesh, q_block=q_block, query_mask=query_mask,
-            axis_name=axis_name, interpret=interpret,
-        )
+        if plan == "device":
+            vals, gids = self._dispatch_device(
+                qd, k, mesh, nprobe=nprobe, q_block=q_block,
+                query_mask=query_mask, axis_name=axis_name,
+                interpret=interpret,
+            )
+        elif plan == "host":
+            cids = self.probe(qd, nprobe)
+            table = self.plan_blocks(cids, q_block)
+            table_d = jax.device_put(
+                jnp.asarray(table),
+                NamedSharding(mesh, P(axis_name, None, None)))
+            vals, gids = self._dispatch(
+                qd, table_d, k, mesh, q_block=q_block, query_mask=query_mask,
+                axis_name=axis_name, interpret=interpret,
+            )
+        else:
+            raise ValueError(f"unknown plan mode {plan!r}")
         vals = np.asarray(vals)[:qn]
         gids = np.asarray(gids)[:qn]
         rows = np.where(
@@ -243,6 +282,77 @@ class ShardedIVF:
             np.int64(-1),
         )
         return vals, rows
+
+    def _dispatch_device(self, qd, k, mesh, *, nprobe, q_block, query_mask,
+                         axis_name, interpret):
+        """Device-planned shard_map dispatch: each shard probes (the
+        replicated centroid top-nprobe — redundant per-chip compute,
+        trivially small), expands its probed clusters through its
+        shard-local [C, maxb] block table, sort/dup-kills into the
+        static-width prefetch table, and runs the dead-gated kernel;
+        candidates all_gather + merge as in the host-planned route."""
+        from arxiv_rag_tpu.ops.pallas_ivf import _device_plan
+        from arxiv_rag_tpu.ops.topk import flat_search
+
+        use_int8 = self.scales is not None
+        use_mask = query_mask is not None
+        if use_mask and self.row_masks is None:
+            raise ValueError("IVF index has no row masks; rebuild with categories")
+        dev = self._device
+        qn, d = qd.shape
+        br, rows_pad = self.block_rows, self.rows_pad
+        nprobe = min(nprobe, self.ivf.n_clusters)
+        maxb = dev["cb"].shape[2]
+        dead = self.dead_block
+        width = max(1, min(q_block * nprobe * maxb, self.blocks_per_shard - 1))
+
+        def local(q, cents, starts, nvalid, *rest):
+            rest = list(rest)
+            cb = rest.pop(0)[0]  # [C, maxb]
+            values = rest.pop(0)[0]  # [rows_pad, D]
+            scales = rest.pop(0)[0] if use_int8 else None
+            masks = rest.pop(0)[0] if use_mask else None
+            qm = rest.pop(0) if use_mask else None
+            _, cids = flat_search(cents, q, nprobe)
+            table = _device_plan(cids, cb, dead, q_block, width)
+            call = _build_ivf_call(
+                rows_pad, d, qn, k, br, values.dtype, use_mask, use_int8,
+                interpret, q_block, width, dead_block=dead,
+            )
+            args = [table, nvalid.reshape(1, 1), q, values]
+            if use_int8:
+                args.append(scales.reshape(1, -1))
+            if use_mask:
+                args.append(masks.reshape(1, -1).astype(jnp.int32))
+                args.append(qm.reshape(-1, 1).astype(jnp.int32))
+            vals, ids = call(*args)
+            gids = jnp.where(ids >= 0, ids + starts.reshape(1, 1), -1)
+            all_vals = jax.lax.all_gather(vals, axis_name)
+            all_gids = jax.lax.all_gather(gids, axis_name)
+            cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, -1)
+            cand_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(qn, -1)
+            mvals, mpos = jax.lax.top_k(cand_vals, k)
+            mgids = jnp.take_along_axis(cand_gids, mpos, axis=1)
+            return mvals, mgids
+
+        operands = [qd, dev["centroids"], dev["starts"], dev["nvalid"],
+                    dev["cb"], dev["values"]]
+        in_specs = [P(), P(), P(axis_name, None), P(axis_name, None),
+                    P(axis_name, None, None), P(axis_name, None, None)]
+        if use_int8:
+            operands.append(dev["scales"])
+            in_specs.append(P(axis_name, None))
+        if use_mask:
+            operands.append(dev["masks"])
+            in_specs.append(P(axis_name, None))
+            qm = jnp.asarray(np.asarray(query_mask).astype(np.int32))
+            operands.append(jax.device_put(qm, NamedSharding(mesh, P())))
+            in_specs.append(P())
+        fn = shard_map(
+            local, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=(P(), P()), check_rep=False,
+        )
+        return fn(*operands)
 
     def _dispatch(self, qd, table_d, k, mesh, *, q_block, query_mask,
                   axis_name, interpret):

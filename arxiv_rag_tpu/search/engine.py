@@ -192,7 +192,7 @@ class SearchEngine:
                     ivals, irows = self._sharded_ivf(idx._mesh).search(
                         np.asarray(q, np.float32), k, idx._mesh,
                         nprobe=np_probe, q_block=self.cfg.ivf_q_block,
-                        query_mask=qmask,
+                        query_mask=qmask, plan=plan,
                     )
                 elif plan == "device":
                     # single dispatch, no host sync: a PURE dispatch like

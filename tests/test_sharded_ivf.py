@@ -181,3 +181,34 @@ def test_engine_mesh_routes_through_sharded_ivf(blob_data):
                                       nprobe=NC)
     keep = np.flatnonzero(np.asarray(cats) == "cs.CV")
     assert np.isin(cr, keep).all()
+
+
+@pytest.mark.parametrize("nd", [1, 2, 8])
+def test_device_plan_matches_host_plan_sharded(blob_data, nd):
+    """plan="device" (probe + per-shard planning traced inside the
+    shard_map) covers the same blocks per shard as the host planner, so
+    results match exactly — f32 and int8, full and partial probe."""
+    rows, queries, _ = blob_data
+    for dtype in ("float32", "int8"):
+        siv = ShardedIVF.build(_ivf(rows, dtype=dtype)[1], nd)
+        mesh = data_mesh(nd)
+        for nprobe in (3, NC):
+            hv, hr = siv.search(queries, K, mesh, nprobe=nprobe, plan="host")
+            dv, dr = siv.search(queries, K, mesh, nprobe=nprobe, plan="device")
+            np.testing.assert_array_equal(dr, hr,
+                                          err_msg=f"{dtype} nd={nd} np={nprobe}")
+            np.testing.assert_allclose(dv, hv, atol=1e-6)
+
+
+def test_device_plan_masked_sharded(blob_data):
+    rows, queries, cats = blob_data
+    dense, ivf = _ivf(rows, dtype="int8", cats=cats)
+    siv = ShardedIVF.build(ivf, 8)
+    mesh = data_mesh(8)
+    qmask = np.full((queries.shape[0],), dense.category_mask(["cs.AI"]))
+    hv, hr = siv.search(queries, K, mesh, nprobe=NC, query_mask=qmask,
+                        plan="host")
+    dv, dr = siv.search(queries, K, mesh, nprobe=NC, query_mask=qmask,
+                        plan="device")
+    np.testing.assert_array_equal(dr, hr)
+    np.testing.assert_allclose(dv, hv, atol=1e-6)
