@@ -163,6 +163,32 @@ def main():
     measure("int8_s8s8", lambda: fused_topk_int8(
         i8_vals, i8_scales, queries, K, _variant="s8s8"))
 
+    # --- IVF on real embeddings: the pruning loss the blob corpora
+    # can't measure (round-4: IVF recall was proven only on synthetic
+    # clusters; real mean-pooled MPNet embeddings are tie-dense and
+    # anisotropic — the hard case for both quantization AND pruning)
+    from arxiv_rag_tpu.index.ivf import IVFIndex
+    from arxiv_rag_tpu.index.store import DenseIndex
+
+    dense = DenseIndex(
+        values=np.asarray(i8_vals), scales=np.asarray(i8_scales),
+        dtype="int8", normalized=True, categories=[], row_masks=None,
+    )
+    n_clusters = max(16, N_ROWS // 400)
+    t0 = time.perf_counter()
+    ivf = IVFIndex.build(dense, n_clusters, block_rows=1024, iters=8, seed=0)
+    log(f"IVF built: {n_clusters} clusters in {time.perf_counter()-t0:.1f}s")
+    qf32 = np.asarray(embs[qi], np.float32)
+    for nprobe in (4, 8, 16):
+        v, r = ivf.search(qf32, K, nprobe=nprobe, plan="device")
+        v = np.asarray(v, np.float32)
+        for tol, tag in ((5e-3, "tol5e3"), (0.0, "strict")):
+            rec = recall_at_k(r, oi, ov, tie_tol=tol, candidate_scores=v)
+            result[f"recall_ivf_np{nprobe}_{tag}"] = round(float(rec), 4)
+        log(f"ivf nprobe={nprobe}: recall@{K} = "
+            f"{result[f'recall_ivf_np{nprobe}_tol5e3']:.4f} (tie_tol 5e-3) / "
+            f"{result[f'recall_ivf_np{nprobe}_strict']:.4f} (strict)")
+
     # sharded s8s8 must agree with single-chip (CPU-mesh path checked in
     # tests; on hardware run the 1-device-mesh compiled route if cheap)
     line = json.dumps(result)
