@@ -84,15 +84,27 @@ def main() -> None:
     centers_h = jax.random.normal(kcent, (n_centers, dim), jnp.float32)
     centers_h = centers_h / jnp.linalg.norm(centers_h, axis=1, keepdims=True)
     step = 250_000
-    v_parts, s_parts = [], []
-    for s in range(0, rows, step):
-        m = min(step, rows - s)
-        v, sc = make_blob_slice(jax.random.fold_in(key, s), centers_h, m)
-        v_parts.append(np.asarray(v))
-        s_parts.append(np.asarray(sc))
-    values = np.concatenate(v_parts)
-    scales = np.concatenate(s_parts)
-    del v_parts, s_parts
+    # corpus/centroids/assignment are deterministic in (rows, centers,
+    # spread, clusters, iters) — cache them on disk so block_rows /
+    # nprobe / Q sweeps skip the ~25-min generate+train+assign setup
+    # (the tunnel transfer dominates it)
+    cache = (f"/tmp/arag_ivf_corpus_{rows}_{n_centers}_{spread}_"
+             f"{n_clusters}_{os.environ.get('ITERS', 8)}.npz")
+    cached = os.path.exists(cache)
+    if cached:
+        z = np.load(cache)
+        values, scales = z["values"], z["scales"]
+        log(f"corpus loaded from {cache}")
+    else:
+        v_parts, s_parts = [], []
+        for s in range(0, rows, step):
+            m = min(step, rows - s)
+            v, sc = make_blob_slice(jax.random.fold_in(key, s), centers_h, m)
+            v_parts.append(np.asarray(v))
+            s_parts.append(np.asarray(sc))
+        values = np.concatenate(v_parts)
+        scales = np.concatenate(s_parts)
+        del v_parts, s_parts
     log(f"corpus on host: {values.nbytes/2**30:.2f} GiB int8")
 
     # queries: noisy blob members (what a real workload looks like)
@@ -106,13 +118,18 @@ def main() -> None:
     from arxiv_rag_tpu.ops.kmeans import _assign_batch, spherical_kmeans
 
     rng = np.random.default_rng(0)
-    t_idx = np.sort(rng.choice(rows, size=min(rows, 262_144), replace=False))
-    sample = values[t_idx].astype(np.float32) * scales[t_idx][:, None]
-    t0 = time.perf_counter()
-    centroids = spherical_kmeans(sample, n_clusters, iters=int(os.environ.get("ITERS", 8)),
-                                 seed=0, sample_rows=None)
-    log(f"kmeans trained in {time.perf_counter()-t0:.1f}s")
-    del sample
+    if cached:
+        centroids = z["centroids"]
+        log("centroids loaded from cache")
+    else:
+        t_idx = np.sort(rng.choice(rows, size=min(rows, 262_144), replace=False))
+        sample = values[t_idx].astype(np.float32) * scales[t_idx][:, None]
+        t0 = time.perf_counter()
+        centroids = spherical_kmeans(
+            sample, n_clusters, iters=int(os.environ.get("ITERS", 8)),
+            seed=0, sample_rows=None)
+        log(f"kmeans trained in {time.perf_counter()-t0:.1f}s")
+        del sample
 
     @jax.jit
     def assign_i8(v, sc, cents):
@@ -121,14 +138,24 @@ def main() -> None:
                          preferred_element_type=jnp.float32)
         return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
-    cents_d = jnp.asarray(centroids)
-    assign = np.empty((rows,), np.int32)
-    t0 = time.perf_counter()
-    for s in range(0, rows, step):
-        sl = slice(s, min(s + step, rows))
-        assign[sl] = np.asarray(assign_i8(jnp.asarray(values[sl]),
-                                          jnp.asarray(scales[sl]), cents_d))
-    log(f"assignment in {time.perf_counter()-t0:.1f}s")
+    if cached:
+        assign = z["assign"]
+        log("assignments loaded from cache")
+    else:
+        cents_d = jnp.asarray(centroids)
+        assign = np.empty((rows,), np.int32)
+        t0 = time.perf_counter()
+        for s in range(0, rows, step):
+            sl = slice(s, min(s + step, rows))
+            assign[sl] = np.asarray(assign_i8(jnp.asarray(values[sl]),
+                                              jnp.asarray(scales[sl]), cents_d))
+        log(f"assignment in {time.perf_counter()-t0:.1f}s")
+        try:
+            np.savez(cache, values=values, scales=scales,
+                     centroids=centroids, assign=assign)
+            log(f"setup cached to {cache}")
+        except OSError as exc:
+            log(f"cache save skipped ({exc})")
 
     dense = DenseIndex(values=values, scales=scales, dtype="int8",
                        normalized=True, categories=[], row_masks=None)
