@@ -376,20 +376,31 @@ class IVFIndex:
         """Device-planned search WITHOUT fetching: returns a
         ``finish() -> (scores, ORIGINAL rows)`` closure, so callers can
         pipeline dispatch/fetch exactly like the flat path (the serving
-        micro-batcher's protocol — engine.search_embeddings_dispatch)."""
+        micro-batcher's protocol — engine.search_embeddings_dispatch).
+
+        ``queries`` may be a DEVICE array (the engine's device window
+        handoff): it is never fetched to host here — an np.asarray
+        would stall the dispatch thread behind the encoder for a full
+        tunnel round trip, the exact sync this path exists to avoid."""
         if self._device_values is None:
             self.to_device()
-        q = np.asarray(queries, np.float32)
+        on_host = not isinstance(queries, jax.Array)
+        q = np.asarray(queries, np.float32) if on_host else queries
         qn = q.shape[0]
         pad = (-qn) % q_block
         if pad:
-            q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])
+            # replicate the last query so pad tiles share its probe set
+            if on_host:
+                q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])
+            else:
+                q = jnp.concatenate(
+                    [q, jnp.repeat(q[-1:], pad, axis=0)]).astype(jnp.float32)
             if query_mask is not None:
                 query_mask = np.concatenate(
                     [query_mask, np.repeat(query_mask[-1:], pad)]
                 )
         vals, local = self._search_device(
-            jnp.asarray(q), k, nprobe=nprobe, q_block=q_block,
+            jnp.asarray(q, jnp.float32), k, nprobe=nprobe, q_block=q_block,
             query_mask=query_mask, interpret=interpret,
         )
 

@@ -82,6 +82,12 @@ def _build_ivf_call(
     merge_impl: str = "extract",
     dead_block: int | None = None,
 ):
+    if k > 128:
+        raise ValueError(
+            f"fused top-k holds at most k=128 candidates per query in its "
+            f"VMEM scratch (got k={k}); run the flat XLA scan for larger k "
+            f"(the engine's k>128 route)"
+        )
     if n_rows % block_rows:
         raise ValueError(
             f"IVF index must be pre-padded to a block multiple "

@@ -6,7 +6,11 @@ wins — each chip holds only its clusters' rows AND scans only the
 probed blocks among them. Because ``IVFIndex`` lays rows out sorted by
 cluster id, a shard is simply a CONTIGUOUS slice of the IVF row order:
 partitioning clusters into ``nd`` contiguous ranges (balanced by row
-count via prefix sums) partitions the rows with zero data movement.
+count via prefix sums) needs no re-sorting or gather. ``build`` does
+materialize one stacked, per-shard-padded host copy of the rows
+([nd, rows_pad, D], ≈1x the corpus bytes) so the mesh placement is a
+single rectangular device_put — budget for it next to the dense index
+when serving multi-GB corpora.
 
 Per call:
 
@@ -66,8 +70,9 @@ def partition_clusters(offsets: np.ndarray, nd: int) -> np.ndarray:
 class ShardedIVF:
     """Cluster-partitioned IVF layout for an ``nd``-way mesh.
 
-    Built from (and sharing numpy row storage with) a single-chip
-    :class:`~arxiv_rag_tpu.index.ivf.IVFIndex`; ``search`` returns
+    Built from a single-chip :class:`~arxiv_rag_tpu.index.ivf.IVFIndex`
+    (holding its own stacked per-shard host copy of the rows — see the
+    module docstring for the memory budget); ``search`` returns
     ORIGINAL dense row ids like its single-chip counterpart, so results
     are directly comparable (and tested equal) across chip counts.
     """
@@ -246,16 +251,24 @@ class ShardedIVF:
         if interpret is None:
             interpret = _interpret_default()
         self.to_device(mesh, axis_name)
-        q = np.asarray(queries, np.float32)
+        # device-array queries (the engine's device window handoff) are
+        # never fetched to host — re-placement onto the mesh is a
+        # device-side transfer
+        on_host = not isinstance(queries, jax.Array)
+        q = np.asarray(queries, np.float32) if on_host else queries
         qn = q.shape[0]
         pad = (-qn) % q_block
         if pad:
             # replicate the last query so pad tiles share its probe set
-            q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])
+            if on_host:
+                q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])
+            else:
+                q = jnp.concatenate([q, jnp.repeat(q[-1:], pad, axis=0)])
             if query_mask is not None:
                 query_mask = np.concatenate(
                     [query_mask, np.repeat(query_mask[-1:], pad)])
-        qd = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P()))
+        qd = jax.device_put(
+            jnp.asarray(q, jnp.float32), NamedSharding(mesh, P()))
         if plan == "device":
             vals, gids = self._dispatch_device(
                 qd, k, mesh, nprobe=nprobe, q_block=q_block,
@@ -289,75 +302,38 @@ class ShardedIVF:
         replicated centroid top-nprobe — redundant per-chip compute,
         trivially small), expands its probed clusters through its
         shard-local [C, maxb] block table, sort/dup-kills into the
-        static-width prefetch table, and runs the dead-gated kernel;
-        candidates all_gather + merge as in the host-planned route."""
-        from arxiv_rag_tpu.ops.pallas_ivf import _device_plan
-        from arxiv_rag_tpu.ops.topk import flat_search
-
-        use_int8 = self.scales is not None
-        use_mask = query_mask is not None
-        if use_mask and self.row_masks is None:
-            raise ValueError("IVF index has no row masks; rebuild with categories")
-        dev = self._device
-        qn, d = qd.shape
-        br, rows_pad = self.block_rows, self.rows_pad
+        static-width prefetch table, and runs the dead-gated kernel."""
         nprobe = min(nprobe, self.ivf.n_clusters)
-        maxb = dev["cb"].shape[2]
-        dead = self.dead_block
+        maxb = self._device["cb"].shape[2]
         width = max(1, min(q_block * nprobe * maxb, self.blocks_per_shard - 1))
-
-        def local(q, cents, starts, nvalid, *rest):
-            rest = list(rest)
-            cb = rest.pop(0)[0]  # [C, maxb]
-            values = rest.pop(0)[0]  # [rows_pad, D]
-            scales = rest.pop(0)[0] if use_int8 else None
-            masks = rest.pop(0)[0] if use_mask else None
-            qm = rest.pop(0) if use_mask else None
-            _, cids = flat_search(cents, q, nprobe)
-            table = _device_plan(cids, cb, dead, q_block, width)
-            call = _build_ivf_call(
-                rows_pad, d, qn, k, br, values.dtype, use_mask, use_int8,
-                interpret, q_block, width, dead_block=dead,
-            )
-            args = [table, nvalid.reshape(1, 1), q, values]
-            if use_int8:
-                args.append(scales.reshape(1, -1))
-            if use_mask:
-                args.append(masks.reshape(1, -1).astype(jnp.int32))
-                args.append(qm.reshape(-1, 1).astype(jnp.int32))
-            vals, ids = call(*args)
-            gids = jnp.where(ids >= 0, ids + starts.reshape(1, 1), -1)
-            all_vals = jax.lax.all_gather(vals, axis_name)
-            all_gids = jax.lax.all_gather(gids, axis_name)
-            cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, -1)
-            cand_gids = jnp.transpose(all_gids, (1, 0, 2)).reshape(qn, -1)
-            mvals, mpos = jax.lax.top_k(cand_vals, k)
-            mgids = jnp.take_along_axis(cand_gids, mpos, axis=1)
-            return mvals, mgids
-
-        operands = [qd, dev["centroids"], dev["starts"], dev["nvalid"],
-                    dev["cb"], dev["values"]]
-        in_specs = [P(), P(), P(axis_name, None), P(axis_name, None),
-                    P(axis_name, None, None), P(axis_name, None, None)]
-        if use_int8:
-            operands.append(dev["scales"])
-            in_specs.append(P(axis_name, None))
-        if use_mask:
-            operands.append(dev["masks"])
-            in_specs.append(P(axis_name, None))
-            qm = jnp.asarray(np.asarray(query_mask).astype(np.int32))
-            operands.append(jax.device_put(qm, NamedSharding(mesh, P())))
-            in_specs.append(P())
-        fn = shard_map(
-            local, mesh=mesh, in_specs=tuple(in_specs),
-            out_specs=(P(), P()), check_rep=False,
+        return self._shard_dispatch(
+            qd, k, mesh, q_block=q_block, query_mask=query_mask,
+            axis_name=axis_name, interpret=interpret, width=width,
+            nprobe=nprobe,
         )
-        return fn(*operands)
 
     def _dispatch(self, qd, table_d, k, mesh, *, q_block, query_mask,
                   axis_name, interpret):
-        """shard_map the pruned kernel + all_gather merge (device arrays
-        returned un-fetched; GLOBAL IVF row ids)."""
+        """Host-planned shard_map dispatch: the prepared [nd, tiles,
+        width] block table rides as a sharded scalar-prefetch operand."""
+        return self._shard_dispatch(
+            qd, k, mesh, q_block=q_block, query_mask=query_mask,
+            axis_name=axis_name, interpret=interpret,
+            width=table_d.shape[2], table_d=table_d,
+        )
+
+    def _shard_dispatch(self, qd, k, mesh, *, q_block, query_mask, axis_name,
+                        interpret, width, table_d=None, nprobe=None):
+        """Common shard_map body for both planners: pruned kernel +
+        global-id offset + ICI all_gather + lossless merge (device
+        arrays returned un-fetched; GLOBAL IVF row ids). The planners
+        differ only in where the block table comes from — a sharded
+        operand (host plan) or a per-shard trace of probe + expansion
+        (device plan, ``nprobe`` set)."""
+        from arxiv_rag_tpu.ops.pallas_ivf import _device_plan
+        from arxiv_rag_tpu.ops.topk import flat_search
+
+        device_plan = table_d is None
         use_int8 = self.scales is not None
         use_mask = query_mask is not None
         if use_mask and self.row_masks is None:
@@ -365,19 +341,27 @@ class ShardedIVF:
         dev = self._device
         qn, d = qd.shape
         br, rows_pad = self.block_rows, self.rows_pad
-        width = table_d.shape[2]
+        dead = self.dead_block
 
-        def local(q, table, starts, nvalid, *rest):
+        def local(q, starts, nvalid, *rest):
             rest = list(rest)
+            if device_plan:
+                cents, cb = rest.pop(0), rest.pop(0)[0]
+            else:
+                table = rest.pop(0)[0]
             values = rest.pop(0)[0]  # [rows_pad, D]
             scales = rest.pop(0)[0] if use_int8 else None
             masks = rest.pop(0)[0] if use_mask else None
             qm = rest.pop(0) if use_mask else None
+            if device_plan:
+                _, cids = flat_search(cents, q, nprobe)
+                table = _device_plan(cids, cb, dead, q_block, width)
             call = _build_ivf_call(
                 rows_pad, d, qn, k, br, values.dtype, use_mask, use_int8,
                 interpret, q_block, width,
+                dead_block=dead if device_plan else None,
             )
-            args = [table[0], nvalid.reshape(1, 1), q, values]
+            args = [table, nvalid.reshape(1, 1), q, values]
             if use_int8:
                 args.append(scales.reshape(1, -1))
             if use_mask:
@@ -393,9 +377,16 @@ class ShardedIVF:
             mgids = jnp.take_along_axis(cand_gids, mpos, axis=1)
             return mvals, mgids
 
-        operands = [qd, table_d, dev["starts"], dev["nvalid"], dev["values"]]
-        in_specs = [P(), P(axis_name, None, None), P(axis_name, None),
-                    P(axis_name, None), P(axis_name, None, None)]
+        operands = [qd, dev["starts"], dev["nvalid"]]
+        in_specs = [P(), P(axis_name, None), P(axis_name, None)]
+        if device_plan:
+            operands += [dev["centroids"], dev["cb"]]
+            in_specs += [P(), P(axis_name, None, None)]
+        else:
+            operands.append(table_d)
+            in_specs.append(P(axis_name, None, None))
+        operands.append(dev["values"])
+        in_specs.append(P(axis_name, None, None))
         if use_int8:
             operands.append(dev["scales"])
             in_specs.append(P(axis_name, None))

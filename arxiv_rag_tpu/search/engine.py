@@ -178,7 +178,10 @@ class SearchEngine:
         # plan the block tables — so it trades the dispatch/fetch
         # pipeline for reading ~n_valid/prune_factor rows.
         np_probe = self.cfg.nprobe if nprobe is None else nprobe
-        if self.ivf is not None and np_probe > 0:
+        # k > 128 exceeds the fused kernels' VMEM scratch (IVF included):
+        # fall through to the flat route, whose use_pallas gate serves
+        # the request via the XLA scan instead of crashing the window
+        if self.ivf is not None and np_probe > 0 and k <= 128:
             qmask = None
             if categories is not None:
                 qmask = np.full(
@@ -188,17 +191,23 @@ class SearchEngine:
             with METRICS.timer("search.ivf"):
                 if idx._mesh is not None:
                     # mesh mode: cluster-partitioned shards + all_gather
-                    # merge (parallel/ivf.py); layout built once per mesh
+                    # merge (parallel/ivf.py); layout built once per mesh.
+                    # q stays a device array — ShardedIVF re-places it
+                    # replicated without a host round trip
                     ivals, irows = self._sharded_ivf(idx._mesh).search(
-                        np.asarray(q, np.float32), k, idx._mesh,
+                        q, k, idx._mesh,
                         nprobe=np_probe, q_block=self.cfg.ivf_q_block,
                         query_mask=qmask, plan=plan,
                     )
                 elif plan == "device":
                     # single dispatch, no host sync: a PURE dispatch like
-                    # the flat route, so serving windows pipeline it
+                    # the flat route, so serving windows pipeline it. The
+                    # query batch is passed device-side — fetching it
+                    # here would stall the dispatch thread behind the
+                    # encoder (the device window handoff exists to avoid
+                    # exactly that round trip)
                     fin = self.ivf.search_dispatch(
-                        np.asarray(q, np.float32), k, nprobe=np_probe,
+                        q, k, nprobe=np_probe,
                         q_block=self.cfg.ivf_q_block, query_mask=qmask,
                     )
 

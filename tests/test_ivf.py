@@ -338,3 +338,41 @@ def test_cluster_block_table_contract():
     row = cb[3]
     assert list(row[row != 99]) == [0, 1, 2]  # rows 5-300 span blocks 0..2
     assert cb[4][0] == 2 and (cb[4][1:] == 99).all()  # row 300 -> block 2
+
+
+def test_engine_k_over_128_falls_back_to_flat(blob_data):
+    """k > 128 exceeds the fused kernels' VMEM scratch; with IVF + nprobe
+    configured the engine must fall through to the flat route (served by
+    the XLA scan) instead of crashing the window."""
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    index, queries, _ = blob_data
+    dense = build_index(index, dtype="float32", normalize=False)
+    ivf = IVFIndex.build(dense, 24, block_rows=BR, iters=4, seed=0)
+    eng = SearchEngine(dense, ivf=ivf, use_pallas=False)
+    k_big = 200
+    vals, rows = eng.search_embeddings(queries[:4], k_big, nprobe=24)
+    assert vals.shape == (4, k_big)
+    ov, oi = cosine_topk_numpy(index, queries[:4], k_big)
+    r = recall_at_k(rows, oi, ov, tie_tol=5e-3, candidate_scores=vals)
+    assert r == 1.0
+
+
+def test_search_dispatch_accepts_device_arrays(blob_data):
+    """search_dispatch must take a jax array (the engine's device window
+    handoff) and produce the same results as the numpy path — without a
+    host fetch in dispatch (spot-checked by equality; the no-fetch
+    property is the code contract)."""
+    import jax.numpy as jnp
+
+    index, queries, _ = blob_data
+    dense = build_index(index, dtype="int8", normalize=False)
+    ivf = IVFIndex.build(dense, 24, block_rows=BR, iters=4, seed=0)
+    fin_np = ivf.search_dispatch(queries[:12], K, nprobe=6, q_block=QB,
+                                 interpret=True)
+    fin_dev = ivf.search_dispatch(jnp.asarray(queries[:12]), K, nprobe=6,
+                                  q_block=QB, interpret=True)
+    v1, r1 = fin_np()
+    v2, r2 = fin_dev()
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)

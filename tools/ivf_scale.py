@@ -151,8 +151,13 @@ def main() -> None:
                                               jnp.asarray(scales[sl]), cents_d))
         log(f"assignment in {time.perf_counter()-t0:.1f}s")
         try:
-            np.savez(cache, values=values, scales=scales,
+            # write-to-tmp + rename: a run killed mid-save (tunnel
+            # outage, watchdog) must not leave a truncated npz that
+            # poisons every later sweep's `cached` branch
+            tmp = cache + ".tmp.npz"
+            np.savez(tmp, values=values, scales=scales,
                      centroids=centroids, assign=assign)
+            os.replace(tmp, cache)
             log(f"setup cached to {cache}")
         except OSError as exc:
             log(f"cache save skipped ({exc})")
