@@ -134,6 +134,21 @@ def _topk_kernel(
     # grid bookkeeping (its repeated dead-block DMA is elided by
     # the pipeline's unchanged-block-index check).
     def _visit():
+        # ---- row-validity folded into [1, BN] operands (round 4) ----
+        # ``gidx < nvalid`` is a row-axis property, so the shard-padding
+        # mask never needs its own [QB, BN] select pass: int8 paths fold
+        # it into the per-row dequant scale (scale 0 + bias -inf), plain
+        # paths add a [1, BN]-broadcast bias, and masked paths zero the
+        # row bitmask — each replaces the former full-tile
+        # ``where(valid, scores, -inf)`` with [1, BN]-cheap ops (the
+        # Q=512 regime is VPU-pass-bound; see the cost decomposition in
+        # CLAUDE.md). Valid rows add +0.0 (IEEE-exact); invalid rows are
+        # finite*0 + -inf = -inf, identical to the old select.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+        gidx = cols + blk * block_rows  # global row ids of this block
+        rowvalid = gidx < nvalid_ref[0, 0]  # [1, BN]
+        bias = jnp.where(rowvalid, 0.0, NEG_INF).astype(jnp.float32)
+
         # ---- score the block on the MXU (fp32 accumulation) ----
         if use_int8 and int8_mode == "s8s8":
             # both operands int8: the MXU's native s8xs8->s32 path (double
@@ -149,15 +164,22 @@ def _topk_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            scores = raw.astype(jnp.float32) * scales_ref[:]
+            if use_mask:
+                scores = raw.astype(jnp.float32) * scales_ref[:]
+            else:
+                mscales = jnp.where(rowvalid, scales_ref[:], 0.0)
+                scores = raw.astype(jnp.float32) * mscales + bias
         elif use_int8 and int8_mode == "nodequant":
             # PERF PROBE ONLY (recall-broken): same stream, no [QB,BN] scale
             # pass — isolates the VPU dequant cost from the HBM stream
-            scores = jax.lax.dot_general(
-                q.astype(jnp.bfloat16),
-                x_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            scores = (
+                jax.lax.dot_general(
+                    q.astype(jnp.bfloat16),
+                    x_ref[:],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias  # keep n_valid semantics (and the probe's traffic shape)
             )
         elif use_int8:
             # int8 STORAGE, bf16 COMPUTE: the index streams at half the
@@ -174,7 +196,11 @@ def _topk_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            scores = raw * scales_ref[:]  # [1,BN] per-row dequant
+            if use_mask:
+                scores = raw * scales_ref[:]  # [1,BN] per-row dequant
+            else:
+                mscales = jnp.where(rowvalid, scales_ref[:], 0.0)
+                scores = raw * mscales + bias
         else:
             from arxiv_rag_tpu.ops.topk import matmul_precision
 
@@ -185,18 +211,15 @@ def _topk_kernel(
                 preferred_element_type=jnp.float32,
                 precision=matmul_precision(x_ref.dtype),
             )
+            if not use_mask:
+                scores = scores + bias
 
-        # [1, BN] column/global-row ids — identical for every query row, so
-        # keep one row and let broadcasting widen ([qn, BN] iotas wasted VPU
-        # registers and VMEM)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
-        gidx = cols + blk * block_rows  # global row ids of this block
-
-        valid = gidx < nvalid_ref[0, 0]
         if use_mask:
-            eligible = (rowmask_ref[:] & qmask_ref[srows, :]) != 0  # [1,BN]&[QB,1]→[QB,BN]
-            valid = jnp.logical_and(valid, eligible)
-        scores = jnp.where(valid, scores, NEG_INF)
+            # fold row validity into the row bitmask ([1, BN], cheap) so
+            # shard padding and category filtering share ONE select pass
+            rmask = jnp.where(rowvalid, rowmask_ref[:], 0)
+            eligible = (rmask & qmask_ref[srows, :]) != 0  # [1,BN]&[QB,1]→[QB,BN]
+            scores = jnp.where(eligible, scores, NEG_INF)
 
         # ---- fast path: skip merge when no query in this tile improves ----
         block_max = jnp.max(scores, axis=1, keepdims=True)  # [QB,1]
