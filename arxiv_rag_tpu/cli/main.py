@@ -455,10 +455,18 @@ def _add_index(sub) -> None:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32", "int8"])
     p.add_argument("--device-build", action="store_true",
                    help="normalize/quantize on the TPU (fast for multi-M rows)")
+    p.add_argument("--append", action="store_true",
+                   help="append these embeddings to an EXISTING index at "
+                        "--out (new shard files; dtype/normalize follow the "
+                        "base manifest; a saved IVF delta is refreshed from "
+                        "its trained centroids without re-running k-means)")
     p.add_argument("--ivf-clusters", type=int, default=0,
                    help="also train an IVF (cluster-pruned) delta with this "
                         "many clusters; search probes it via --nprobe")
-    p.add_argument("--ivf-block-rows", type=int, default=1024)
+    p.add_argument("--ivf-block-rows", type=int, default=1024,
+                   help="IVF layout block size; must be a multiple of 128 "
+                        "(TPU lane tiling of the scale/mask sidecars — "
+                        "sweeps favor 1024-4096)")
     p.add_argument("--ivf-iters", type=int, default=10)
 
 
@@ -485,13 +493,33 @@ def cmd_index(args) -> int:
                 cat_of[row["chunk_id"]] = row["category"]
         categories = [cat_of.get(cid, "") for cid in ids]
 
-    builder = build_index_device if args.device_build else build_index
-    idx = builder(embs, categories=categories, dtype=args.dtype, chunk_ids=ids)
-    idx.model = manifest.get("model", "")
-    idx.save(args.out)  # writes chunk_ids.json from idx.chunk_ids
     ivf_meta = {}
-    if args.ivf_clusters:
+    if args.append:
         from arxiv_rag_tpu.index.ivf import IVFIndex
+        from arxiv_rag_tpu.index.store import append_index
+
+        idx = append_index(
+            args.out, embs, categories=categories,
+            chunk_ids=ids if ids else None, device=args.device_build,
+        )
+        if IVFIndex.exists(args.out):
+            ivf = IVFIndex.extend(args.out, idx)
+            ivf_meta = {"ivf_clusters": ivf.n_clusters,
+                        "ivf_block_rows": ivf.block_rows,
+                        "ivf_refreshed": True}
+    else:
+        builder = build_index_device if args.device_build else build_index
+        idx = builder(embs, categories=categories, dtype=args.dtype, chunk_ids=ids)
+        idx.model = manifest.get("model", "")
+        idx.save(args.out)  # writes chunk_ids.json from idx.chunk_ids
+    if args.ivf_clusters and not ivf_meta:
+        from arxiv_rag_tpu.index.ivf import IVFIndex
+
+        if args.ivf_block_rows % 128:
+            print(f"error: --ivf-block-rows {args.ivf_block_rows} must be a "
+                  f"multiple of 128 (TPU lane tiling of the IVF kernel's "
+                  f"scale/mask sidecars)", file=sys.stderr)
+            return 2
 
         ivf = IVFIndex.build(
             idx, args.ivf_clusters, block_rows=args.ivf_block_rows,

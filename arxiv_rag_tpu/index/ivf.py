@@ -230,6 +230,50 @@ class IVFIndex:
     def exists(directory: str | Path) -> bool:
         return (Path(directory) / IVF_DIR / "meta.json").exists()
 
+    @classmethod
+    def extend(
+        cls, directory: str | Path, dense, *, assign_batch: int = 262144
+    ) -> "IVFIndex":
+        """Refresh a saved IVF delta after ``append_index`` grew the
+        dense store: reuse the trained centroids, recover the old rows'
+        assignments from ``perm``/``offsets`` (position p of ``perm``
+        lies in cluster c iff offsets[c] <= p < offsets[c+1]), assign
+        only the NEW rows, and rebuild + save the layout. The k-means
+        training cost is never re-paid; the permutation matches a full
+        ``build`` with the same centroids bit-for-bit (stable argsort
+        over identical assignments)."""
+        d = Path(directory) / IVF_DIR
+        meta = json.loads((d / "meta.json").read_text())
+        if meta["dtype"] != dense.dtype:
+            raise ValueError(
+                f"IVF delta was built for dtype {meta['dtype']}, dense index "
+                f"is {dense.dtype} — rebuild with `arag index --ivf-clusters`"
+            )
+        old_n, new_n = int(meta["n_valid"]), dense.num_rows
+        if new_n < old_n:
+            raise ValueError(
+                f"dense index shrank ({new_n} rows < IVF's {old_n}) — rebuild"
+            )
+        perm = np.load(d / "perm.npy")
+        offsets = np.load(d / "offsets.npy")
+        centroids = np.load(d / "centroids.npy")
+        n_clusters = centroids.shape[0]
+        assign = np.empty((new_n,), np.int32)
+        assign[perm] = np.repeat(
+            np.arange(n_clusters, dtype=np.int32), np.diff(offsets)
+        )
+        for start in range(old_n, new_n, assign_batch):
+            sl = slice(start, min(start + assign_batch, new_n))
+            assign[sl] = assign_clusters(_dense_rows_f32(dense, sl), centroids)
+        ivf = cls.build(
+            dense, n_clusters, block_rows=int(meta["block_rows"]),
+            centroids=centroids, assignments=assign,
+        )
+        ivf.save(directory)
+        log.info("extended IVF delta: %d -> %d rows (%d clusters)",
+                 old_n, new_n, n_clusters)
+        return ivf
+
     # -- device ----------------------------------------------------------
 
     def to_device(self) -> "IVFIndex":

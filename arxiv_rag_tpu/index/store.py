@@ -164,6 +164,128 @@ def build_index_device(
     )
 
 
+def append_index(
+    directory: str | Path,
+    embeddings: np.ndarray,
+    categories: Sequence[str] | None = None,
+    chunk_ids: Sequence[str] | None = None,
+    rows_per_shard: int = 262144,
+    device: bool = False,
+) -> "DenseIndex":
+    """Incrementally grow an on-disk index — the ChromaDB
+    ``collection.add`` behavior the reference relies on for continuous
+    ingestion (``generate_embeddings_parallel.py:323-468``), which a
+    batch-only builder would force into a full rebuild per drop of new
+    papers.
+
+    New rows are normalized/quantized with the SAME dtype/normalize
+    settings recorded in the base manifest, written as NEW shard files
+    (existing shards are never rewritten), and the sidecar arrays +
+    manifest are updated last (manifest replace is atomic; ``load``
+    trims sidecars to ``num_rows``, so a crash between sidecar and
+    manifest writes leaves the base index intact and loadable).
+
+    Category vocabulary grows in place: existing categories keep their
+    bit positions, unseen ones append (32 max). Masked/unmasked and
+    chunk-id'd/anonymous bases must stay that way — mixing would make
+    filtered search silently wrong for half the corpus.
+
+    Returns the re-loaded combined index. An existing IVF delta in the
+    same directory goes stale; refresh it with ``IVFIndex.extend``.
+    """
+    directory = Path(directory)
+    manifest = IndexManifest.from_json((directory / MANIFEST_NAME).read_text())
+    emb = np.asarray(embeddings)
+    if emb.ndim != 2 or emb.shape[1] != manifest.dim:
+        raise ValueError(
+            f"appended embeddings have shape {emb.shape}; index dim is "
+            f"{manifest.dim}"
+        )
+    has_masks = (directory / "row_masks.npy").exists()
+    if has_masks != (categories is not None):
+        raise ValueError(
+            "category parity: the base index "
+            + ("has" if has_masks else "has no")
+            + " row masks, so appended rows must "
+            + ("also carry categories" if has_masks else "not carry categories")
+        )
+    has_ids = (directory / "chunk_ids.json").exists()
+    if has_ids != (chunk_ids is not None):
+        raise ValueError(
+            "chunk-id parity: the base index "
+            + ("maps rows to chunk_ids" if has_ids else "has no chunk_ids")
+            + ", so appended rows must match"
+        )
+    if chunk_ids is not None and len(chunk_ids) != emb.shape[0]:
+        raise ValueError(
+            f"{len(chunk_ids)} chunk_ids for {emb.shape[0]} appended rows"
+        )
+    cats = list(manifest.categories)
+    if categories is not None:
+        if len(categories) != emb.shape[0]:
+            raise ValueError(
+                f"{len(categories)} categories for {emb.shape[0]} appended rows"
+            )
+        for c in sorted(set(categories)):
+            if c not in cats:
+                cats.append(c)
+        if len(cats) > 32:
+            raise ValueError("more than 32 categories needs a wider mask")
+
+    builder = build_index_device if device else build_index
+    new = builder(
+        emb, categories=categories, category_names=cats,
+        dtype=manifest.dtype, normalize=manifest.normalized,
+        chunk_ids=chunk_ids,
+    )
+
+    def _atomic_save(name: str, arr: np.ndarray) -> None:
+        tmp = directory / (name + ".tmp.npy")
+        np.save(tmp, arr)
+        tmp.replace(directory / name)
+
+    shards = list(manifest.shards)
+    base_rows, i0 = manifest.num_rows, len(shards)
+    for j, start in enumerate(range(0, new.num_rows, rows_per_shard)):
+        stop = min(start + rows_per_shard, new.num_rows)
+        chunk = new.values[start:stop]
+        if manifest.dtype == "bfloat16":
+            import ml_dtypes
+
+            chunk = np.asarray(chunk, ml_dtypes.bfloat16).view(np.uint16)
+        name = f"embeddings-{i0 + j:05d}.npy"
+        np.save(directory / name, chunk)
+        shards.append(
+            {"file": name, "num_rows": stop - start,
+             "row_offset": base_rows + start}
+        )
+    if new.scales is not None:
+        _atomic_save(
+            "scales.npy",
+            np.concatenate([np.load(directory / "scales.npy"), new.scales]),
+        )
+    if categories is not None:
+        _atomic_save(
+            "row_masks.npy",
+            np.concatenate([np.load(directory / "row_masks.npy"), new.row_masks]),
+        )
+    if chunk_ids is not None:
+        old_ids = json.loads((directory / "chunk_ids.json").read_text())
+        tmp = directory / "chunk_ids.json.tmp"
+        tmp.write_text(json.dumps(old_ids + list(chunk_ids)))
+        tmp.replace(directory / "chunk_ids.json")
+    manifest.num_rows = base_rows + new.num_rows
+    manifest.categories = cats
+    manifest.shards = shards
+    manifest.created_at = time.time()
+    tmp = directory / (MANIFEST_NAME + ".tmp")
+    tmp.write_text(manifest.to_json())
+    tmp.replace(directory / MANIFEST_NAME)
+    log.info("appended %d rows to index (%d total, %d shards)",
+             new.num_rows, manifest.num_rows, len(shards))
+    return DenseIndex.load(directory)
+
+
 @dataclass
 class DenseIndex:
     values: np.ndarray  # [N, D] float32/bfloat16/int8
@@ -253,15 +375,21 @@ class DenseIndex:
                 arr = arr.view(ml_dtypes.bfloat16)  # host-side reinterpret
             parts.append(arr)
         values = np.concatenate(parts) if parts else np.zeros((0, manifest.dim))
+        # sidecars trim to the manifest's row count: append_index writes
+        # them before the (atomic) manifest replace, so a crash in
+        # between leaves longer sidecars next to the OLD manifest — the
+        # base index must still load cleanly
         scales = None
         if (directory / "scales.npy").exists():
-            scales = np.load(directory / "scales.npy")
+            scales = np.load(directory / "scales.npy")[: manifest.num_rows]
         row_masks = None
         if (directory / "row_masks.npy").exists():
-            row_masks = np.load(directory / "row_masks.npy")
+            row_masks = np.load(directory / "row_masks.npy")[: manifest.num_rows]
         chunk_ids = None
         if (directory / "chunk_ids.json").exists():
-            chunk_ids = json.loads((directory / "chunk_ids.json").read_text())
+            chunk_ids = json.loads(
+                (directory / "chunk_ids.json").read_text()
+            )[: manifest.num_rows]
         return cls(
             values=values, scales=scales, dtype=manifest.dtype,
             normalized=manifest.normalized, categories=manifest.categories,

@@ -94,6 +94,22 @@ def _build_ivf_call(
             f"(got {n_rows} rows, block_rows={block_rows}) — see "
             f"pad_index_for_ivf"
         )
+    if not interpret:
+        # Mosaic tiling: the values operand blocks (block_rows, d) on the
+        # sublane dim (multiple of 8); the [1, n_padded] scale/mask
+        # sidecars block (1, block_rows) on the LANE dim, which must be a
+        # multiple of 128. Fail here with the layout constraint instead
+        # of deep in the Mosaic lowering.
+        need = 128 if (use_int8 or use_mask) else 8
+        if block_rows % need:
+            raise ValueError(
+                f"block_rows={block_rows} cannot lower for TPU: the "
+                f"{'int8/masked' if need == 128 else 'bf16'} IVF kernel "
+                f"needs a multiple of {need} "
+                f"({'lane-dim tiling of the [1, N] scale/mask operands' if need == 128 else 'sublane-dim tiling of the value blocks'}); "
+                f"use block_rows>=128 (production sweeps favor 1024-4096, "
+                f"IVF_r04.json) or interpret=True on CPU"
+            )
     if qn % q_block:
         raise ValueError(f"query count {qn} not a multiple of q_block {q_block}")
     num_q_blocks = qn // q_block

@@ -133,7 +133,7 @@ def test_cli_index_ivf_and_search_nprobe(pdf_root, tmp_path, capsys):
     capsys.readouterr()
     assert main(["index", "--embeddings", str(emb), "--corpus", str(corpus),
                  "--out", str(idx), "--dtype", "float32",
-                 "--ivf-clusters", "3", "--ivf-block-rows", "8"]) == 0
+                 "--ivf-clusters", "3", "--ivf-block-rows", "128"]) == 0
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta["ivf_clusters"] == 3
     assert (idx / "ivf" / "meta.json").exists()

@@ -376,3 +376,21 @@ def test_search_dispatch_accepts_device_arrays(blob_data):
     v2, r2 = fin_dev()
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+
+def test_unaligned_block_rows_rejected_for_tpu():
+    """Mosaic lane tiling: the [1, N] scale/mask sidecars block as
+    (1, block_rows), so compiled (non-interpret) lowering needs
+    block_rows % 128 == 0 (int8/masked) or % 8 (bf16). The call builder
+    must say so instead of the opaque Mosaic BlockSpec error."""
+    from arxiv_rag_tpu.ops.pallas_ivf import _build_ivf_call
+
+    with pytest.raises(ValueError, match="multiple of 128"):
+        _build_ivf_call(64, 32, 8, 5, 8, np.int8, False, True,
+                        interpret=False, q_block=8, max_blocks=4)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _build_ivf_call(60, 32, 8, 5, 4, np.float32, False, False,
+                        interpret=False, q_block=8, max_blocks=4)
+    # interpret mode (CPU tests) keeps accepting tiny blocks
+    _build_ivf_call(64, 32, 8, 5, 8, np.int8, False, True,
+                    interpret=True, q_block=8, max_blocks=4)
