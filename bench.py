@@ -40,7 +40,8 @@ Protocol notes (sized for a tunneled single chip + 1-core host):
 
 Env knobs: ARAG_BENCH_ROWS (default 2_000_000 on TPU), ARAG_BENCH_CPU_ROWS
 (default 200_000), ARAG_BENCH_SKIP_ENCODER=1, ARAG_BENCH_DEADLINE,
-ARAG_BENCH_COMPILE_TIMEOUT.
+ARAG_BENCH_COMPILE_TIMEOUT, ARAG_BENCH_SKIP_IVF=1, ARAG_BENCH_IVF_NPROBE,
+ARAG_BENCH_IVF_BUDGET.
 """
 
 from __future__ import annotations
@@ -67,6 +68,26 @@ class _Oom(RuntimeError):
 
 def _is_oom(exc: BaseException) -> bool:
     return "RESOURCE_EXHAUSTED" in repr(exc)
+
+
+def uniform_cluster_ids(start: int, rows: int, n_rows: int,
+                        n_clusters: int) -> np.ndarray:
+    """Exact cluster ids for rows [start, start+rows) under the
+    proportional map cid(i) = i*C // N (cluster sizes differ by <= 1).
+    int64 host math — a traced int32 i*C overflows at 2M x 4096, and an
+    f32 divide can misplace boundary rows relative to the offsets."""
+    return (
+        (np.arange(start, start + rows, dtype=np.int64) * n_clusters)
+        // n_rows
+    ).astype(np.int32)
+
+
+def uniform_cluster_offsets(n_rows: int, n_clusters: int) -> np.ndarray:
+    """offsets[c] = #rows with cid(i) < c = ceil(c*N/C) — consistent
+    with :func:`uniform_cluster_ids` by construction (i*C//N < c iff
+    i < ceil(c*N/C))."""
+    c = np.arange(n_clusters + 1, dtype=np.int64)
+    return (c * n_rows + n_clusters - 1) // n_clusters
 
 
 def run_bench(result: dict, errors: list, n_rows: int) -> None:
@@ -687,6 +708,151 @@ def run_bench(result: dict, errors: list, n_rows: int) -> None:
         except Exception as exc:  # noqa: BLE001
             errors.append(f"cpu encoder: {str(exc)[:200]}")
             log(f"cpu encoder baseline failed: {exc}")
+
+    # --- IVF (cluster-pruned ANN tier): probe + block-plan + pruned scan
+    # fused into ONE device dispatch (index/ivf.py plan="device") -------------
+    # The device-planned configuration IVF_r04.json validated at 2M
+    # (4096 clusters, 1024-row blocks, int8, nprobe 8), folded into the
+    # driver's evidence chain. The kernel's AOT payload persists across
+    # runs (ops/aot.py), so only the FIRST run after a /tmp wipe or a
+    # kernel edit pays the Mosaic compile. Runs LAST in a watchdogged
+    # daemon thread: that compile can take minutes on the shared pool,
+    # and by then every other field is already recorded.
+    if on_tpu and os.environ.get("ARAG_BENCH_SKIP_IVF") != "1":
+        hard = float(os.environ.get("ARAG_BENCH_HARD_DEADLINE", 1800.0))
+        ivf_budget = min(
+            float(os.environ.get("ARAG_BENCH_IVF_BUDGET",
+                                 compile_timeout + 180.0)),
+            hard - 120.0 - (time.perf_counter() - T0),
+        )
+
+        def _ivf_phase() -> None:
+            from arxiv_rag_tpu.ops.pallas_ivf import (
+                cluster_block_table,
+                ivf_topk_device,
+            )
+            from arxiv_rag_tpu.ops.pallas_topk import fused_topk_int8
+
+            # the flat phases are done — free their buffers so the
+            # clustered corpus (1.5 GB int8) never stacks on the 4.6 GB
+            for buf in (index, i8_vals, i8_scales, row_masks_dev, qbf_dev):
+                try:
+                    buf.delete()
+                except Exception:  # noqa: BLE001 — already deleted
+                    pass
+            cpu_result.clear()  # and the 600 MB host baseline slice
+            ivf_block = 1024
+            n_cl = max(8, min(4096, n_rows * 4096 // 2_000_000))
+            # pad to the MAIN index's 4096-aligned shape: the flat scan
+            # below then shares the int8 phase's already-warm AOT payload
+            # (4096 % 1024 == 0 keeps the IVF kernel block-aligned too);
+            # the last 1024-block must sit entirely past n_valid — it is
+            # the block table's designated dead pad target
+            padded = n_rows + (-n_rows) % BLOCK_ROWS
+            if padded - n_rows < ivf_block:
+                padded += BLOCK_ROWS
+            spread = 0.025  # blob tightness, as tools/ivf_scale.py
+            # HOST-generated corpus (~1.5 GB int8 upload): a device-side
+            # build would need 4-5 fresh XLA compiles, and the shared
+            # pool's compile queue runs minutes-deep on bad days
+            # (2026-08-17 evening: a TINY fresh compile sat >300 s) — the
+            # only compile this phase may ever wait on is the IVF kernel
+            # itself, and only while its AOT payload is cold
+            rng = np.random.default_rng(11)
+            centers_h = rng.standard_normal((n_cl, dim)).astype(np.float32)
+            centers_h /= np.linalg.norm(centers_h, axis=1, keepdims=True)
+            vals8_h = np.zeros((padded, dim), np.int8)
+            scales_h = np.zeros((padded,), np.float32)
+            for s in range(0, n_rows, step):
+                rows = min(step, n_rows - s)
+                cid = uniform_cluster_ids(s, rows, n_rows, n_cl)
+                x = centers_h[cid]
+                x += spread * rng.standard_normal((rows, dim)).astype(np.float32)
+                x /= np.linalg.norm(x, axis=1, keepdims=True)
+                sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
+                vals8_h[s:s + rows] = np.clip(
+                    np.round(x / sc[:, None]), -127, 127).astype(np.int8)
+                scales_h[s:s + rows] = sc
+            # queries are blob members — a real workload queries near the
+            # corpus (real MPNet embeddings are cluster-dense, RECALL_r04:
+            # mean pairwise cosine 0.9882; isotropic Gaussians would be an
+            # unfairly HARD case for IVF, blobs are the representative one)
+            qcid = np.random.default_rng(5).integers(0, n_cl, q_batch)
+            q = centers_h[qcid] + spread * rng.standard_normal(
+                (q_batch, dim)).astype(np.float32)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            dead = padded // ivf_block - 1
+            vals8 = jax.device_put(vals8_h)
+            sc8 = jax.device_put(scales_h)
+            centers = jax.device_put(centers_h)
+            cb = jax.device_put(cluster_block_table(
+                uniform_cluster_offsets(n_rows, n_cl), ivf_block, dead))
+            ivf_q = jax.device_put(q.astype(np.float32))
+            _ = np.asarray(ivf_q)  # sync the uploads (tiny fetch)
+            del vals8_h, scales_h
+            log(f"ivf corpus resident: {n_rows} rows, {n_cl} uniform "
+                f"clusters, {padded // ivf_block} blocks of {ivf_block} (int8)")
+
+            # flat int8 scan over the SAME corpus: the recall oracle AND
+            # the amortized baseline the speedup is measured against
+            # (both paths see identical int8 storage, so recall isolates
+            # PRUNING loss from quantization loss)
+            fkw = dict(n_valid=n_rows, block_rows=BLOCK_ROWS)
+            fv, fr = fused_topk_int8(vals8, sc8, ivf_q, k, **fkw)
+            fv, fr = np.asarray(fv), np.asarray(fr)
+            t0 = time.perf_counter()
+            outs = [fused_topk_int8(vals8, sc8, ivf_q, k, **fkw)
+                    for _ in range(6)]
+            _ = np.asarray(outs[-1][0])
+            flat_s = (time.perf_counter() - t0) / 6
+            log(f"ivf-corpus flat int8 scan: {flat_s * 1e3:.2f} ms amortized "
+                f"({q_batch / flat_s:.0f} qps)")
+
+            nprobe = int(os.environ.get("ARAG_BENCH_IVF_NPROBE", 8))
+            ikw = dict(nprobe=nprobe, n_valid=n_rows, block_rows=ivf_block,
+                       scales=sc8)
+            dv, dr = ivf_topk_device(vals8, cb, centers, ivf_q, k, **ikw)
+            dv, dr = np.asarray(dv), np.asarray(dr)
+            rec = recall_at_k(dr, fr, fv, tie_tol=5e-3,
+                              candidate_scores=np.where(dr >= 0, dv, -np.inf))
+            t0 = time.perf_counter()
+            outs = [ivf_topk_device(vals8, cb, centers, ivf_q, k, **ikw)
+                    for _ in range(6)]
+            _ = np.asarray(outs[-1][0])
+            ivf_s = (time.perf_counter() - t0) / 6
+            result["ivf_qps_at_q32_pipelined"] = round(q_batch / ivf_s, 1)
+            result["ivf_flat_qps_int8"] = round(q_batch / flat_s, 1)
+            result["ivf_speedup_vs_flat"] = round(flat_s / ivf_s, 2)
+            result["ivf_recall_at_10_vs_flat"] = round(float(rec), 4)
+            result["ivf_nprobe"] = nprobe
+            result["ivf_clusters"] = n_cl
+            log(f"ivf device-planned nprobe={nprobe}: {ivf_s * 1e3:.2f} ms "
+                f"amortized -> {q_batch / ivf_s:.0f} qps "
+                f"({flat_s / ivf_s:.2f}x flat), recall@{k} vs flat = {rec:.4f}")
+
+        if ivf_budget < 60:
+            errors.append("ivf: skipped, no time budget")
+            log(f"ivf phase skipped ({ivf_budget:.0f}s budget left)")
+        else:
+            ivf_box: dict = {}
+
+            def _ivf_run() -> None:
+                try:
+                    _ivf_phase()
+                    ivf_box["ok"] = True
+                except Exception as exc:  # noqa: BLE001
+                    ivf_box["err"] = exc
+
+            it = threading.Thread(target=_ivf_run, daemon=True)
+            it.start()
+            it.join(ivf_budget)
+            if "err" in ivf_box:
+                errors.append(f"ivf: {str(ivf_box['err'])[:200]}")
+                log(f"ivf phase failed: {ivf_box['err']}")
+            elif not ivf_box.get("ok"):
+                errors.append(f"ivf: watchdog {ivf_budget:.0f}s")
+                log(f"ivf phase still running after {ivf_budget:.0f}s; "
+                    "abandoned (every other field is already recorded)")
 
 
 def main() -> None:
