@@ -988,6 +988,9 @@ def cmd_serve(args) -> int:
         index_stats={"rows": engine.index.num_rows, "dim": engine.index.dim,
                      "dtype": engine.index.dtype},
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        # POST /admin/reload picks up `arag index --append` growth from
+        # these locations with zero downtime
+        reload_paths={"index": args.index, "corpus": args.corpus},
     )
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
     # graceful SIGTERM (the downloader's shutdown contract, applied to

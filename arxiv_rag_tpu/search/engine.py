@@ -118,6 +118,117 @@ class SearchEngine:
         self.lazy_hydration: bool | None = None
         self._row_map = None  # index row -> corpus row (lazy mode)
 
+    # -- live reload --------------------------------------------------------
+
+    def prepare_reload(
+        self,
+        index_dir,
+        *,
+        corpus_dir=None,
+        bm25_path: str | None = None,
+        cache_bytes: int | None = None,
+    ):
+        """Load a grown/rebuilt index (and its IVF delta / corpus / BM25
+        side) WITHOUT touching the live engine, returning a zero-IO
+        ``swap() -> info`` closure that atomically re-points the engine.
+
+        Serving contract (serve.py ``/admin/reload``): this load + device
+        upload runs on the HTTP handler thread while the engine keeps
+        serving the OLD index; ``swap`` then executes on the
+        micro-batcher's dispatch thread behind a completion barrier, so
+        no window ever observes a half-swapped engine (in-flight finishes
+        hold the old objects alive through their closures, and the old
+        device buffers are freed only after the barrier). Old + new index
+        coexist in HBM during the load — the reload's memory peak.
+
+        Corpus/BM25 defaults: if the engine serves hydrated text, the
+        corpus is RE-OPENED (same directory unless ``corpus_dir``) so
+        appended parquet shards become visible; if hybrid is on, BM25 is
+        loaded from ``bm25_path`` or rebuilt index-aligned. Capability
+        anchor: the reference's only growth story is ChromaDB
+        ``collection.add`` (generate_embeddings_parallel.py:323-468) with
+        no serving layer; ``arag index --append`` + this gives
+        zero-downtime growth.
+        """
+        from arxiv_rag_tpu.index.ivf import IVFIndex
+
+        new_idx = DenseIndex.load(index_dir)
+        if new_idx.dim != self.index.dim:
+            raise ValueError(
+                f"reload index dim {new_idx.dim} != serving dim "
+                f"{self.index.dim} — wrong index for this embedder"
+            )
+        mesh = self.index._mesh
+        new_ivf = None
+        if IVFIndex.exists(index_dir):
+            new_ivf = IVFIndex.load(index_dir, new_idx)
+            if self.cfg.nprobe and mesh is None:
+                new_ivf.to_device()
+        new_idx.to_device(mesh=mesh)
+        new_corpus = None
+        if self.corpus is not None or corpus_dir is not None:
+            from arxiv_rag_tpu.store.corpus import CorpusReader
+
+            cdir = corpus_dir or self.corpus.directory
+            cb = cache_bytes or getattr(
+                self.corpus, "cache_bytes", 512 * 1024 * 1024
+            )
+            new_corpus = CorpusReader(cdir, cache_bytes=cb)
+        new_bm25 = None
+        if bm25_path is not None:
+            new_bm25 = BM25Index.load(bm25_path)
+        elif self.bm25 is not None:
+            if new_corpus is None:
+                raise ValueError(
+                    "hybrid engine reload needs a corpus to rebuild BM25 "
+                    "(or pass bm25_path)"
+                )
+            new_bm25 = bm25_for_index(new_idx, new_corpus)
+        if new_bm25 is not None and new_bm25.num_docs != new_idx.num_rows:
+            raise ValueError(
+                f"reload bm25 has {new_bm25.num_docs} docs but index has "
+                f"{new_idx.num_rows} rows — stale bm25_path?"
+            )
+
+        def swap() -> dict:
+            old_idx, old_ivf = self.index, self.ivf
+            self.index = new_idx
+            self.ivf = new_ivf
+            if new_corpus is not None:
+                self.corpus = new_corpus
+            if new_bm25 is not None:
+                self.bm25 = new_bm25
+            # per-index caches rebuild lazily against the new objects
+            self._row_map = None
+            self._meta_cache = None
+            self._meta_by_id = None
+            self._sharded_ivf_cache = None
+            # free the old device buffers now — the barrier guarantees
+            # nothing in flight references them, and waiting for GC
+            # prolongs the old+new HBM peak
+            for holder in (old_idx, old_ivf):
+                for f in ("_device_values", "_device_scales",
+                          "_device_masks", "_device_centroids",
+                          "_device_cb"):
+                    buf = getattr(holder, f, None)
+                    if buf is not None:
+                        try:
+                            buf.delete()
+                        except Exception:  # noqa: BLE001 — sharded/alive views
+                            pass
+            log.info(
+                "reload swap: %d -> %d rows (%s%s)", old_idx.num_rows,
+                new_idx.num_rows, new_idx.dtype,
+                ", ivf" if new_ivf is not None else "",
+            )
+            return {
+                "rows": new_idx.num_rows, "dim": new_idx.dim,
+                "dtype": new_idx.dtype, "ivf": new_ivf is not None,
+                "bm25_rebuilt": new_bm25 is not None and bm25_path is None,
+            }
+
+        return swap
+
     # -- dense ------------------------------------------------------------
 
     def search_embeddings(

@@ -6,6 +6,10 @@ Endpoints:
 
 - ``POST /search``  body: {"queries": [str], "k": int?,
   "categories": [str]?, "hybrid_alpha": float?} → {"results": [[hit]]}
+- ``POST /admin/reload``  body: {"index_dir": str?, "corpus_dir": str?,
+  "bm25_path": str?} → swap in a grown/rebuilt index with ZERO downtime
+  (load+upload on the handler thread while the old index serves; ref
+  swap on the dispatch thread behind a completion barrier)
 - ``GET /healthz``  → {"status": "ok", "rows": N, "dim": D, ...}
 - ``GET /metrics``  → the METRICS counters/timers snapshot
 
@@ -41,6 +45,25 @@ class _Job:
         self.queries = queries
         self.key = key
         self.results = None
+        self.error: Exception | None = None
+        self.done = threading.Event()
+
+
+class _ControlJob:
+    """An admin operation executed ON the dispatch thread, behind a
+    completion barrier — i.e. with NO window dispatched-but-unfinished.
+    This is what makes a live engine swap (/admin/reload) safe without
+    any locking in the engine's hot path: dispatches happen only on the
+    dispatch thread (which is busy running the control), and every
+    previously dispatched window has fully finished (the barrier), so
+    nothing can observe a half-swapped engine."""
+
+    __slots__ = ("fn", "queries", "result", "error", "done")
+
+    def __init__(self, fn):
+        self.fn = fn
+        self.queries = ()  # close() drains us like any queued job
+        self.result = None
         self.error: Exception | None = None
         self.done = threading.Event()
 
@@ -99,6 +122,26 @@ class MicroBatcher:
             raise job.error
         return job.results
 
+    def run_control(self, fn):
+        """Run ``fn()`` on the dispatch thread behind a completion
+        barrier (see :class:`_ControlJob`); returns ``fn``'s result.
+        Blocks the calling (handler) thread, NOT serving — queued search
+        jobs before/after the control proceed normally."""
+        if self.window <= 0:  # direct mode: the engine lock serializes
+            with self._lock:
+                return fn()
+        job = _ControlJob(fn)
+        with self._wake:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            self._queue.append(job)
+            self._pending += 1
+            self._wake.notify()
+        job.done.wait()
+        if job.error is not None:
+            raise job.error
+        return job.result
+
     def _loop(self) -> None:
         while True:
             with self._wake:
@@ -125,9 +168,12 @@ class MicroBatcher:
                     self._wake.wait(timeout=remaining)
                 batch, self._queue = self._queue, []
                 self._pending = 0
+            controls = [j for j in batch if isinstance(j, _ControlJob)]
             # group by identical search params; one engine call per group
             groups: dict[tuple, list[_Job]] = {}
             for job in batch:
+                if isinstance(job, _ControlJob):
+                    continue
                 groups.setdefault(job.key, []).append(job)
             for key, jobs in groups.items():
                 k, cats, alpha = key
@@ -154,6 +200,24 @@ class MicroBatcher:
                     for j in jobs:
                         j.error = exc
                         j.done.set()
+            for cj in controls:
+                # completion barrier: FIFO queue + an empty "window"
+                # whose finish just signals — once it has run, every
+                # window dispatched above (and before) has fully
+                # finished, in-flight closures and all
+                barrier = threading.Event()
+
+                def _signal(ev=barrier):
+                    ev.set()
+                    return []
+
+                self._completions.put(([], _signal))
+                barrier.wait()
+                try:
+                    cj.result = cj.fn()
+                except Exception as exc:  # noqa: BLE001 — report, keep serving
+                    cj.error = exc
+                cj.done.set()
 
     def _completion_loop(self) -> None:
         while True:
@@ -176,7 +240,9 @@ class MicroBatcher:
                     j.done.set()
 
 
-def make_handler(engine, index_stats: dict, batcher: MicroBatcher):
+def make_handler(engine, index_stats: dict, batcher: MicroBatcher,
+                 reload_paths: dict | None = None):
+    reload_lock = threading.Lock()  # one reload at a time; serving unaffected
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
@@ -199,6 +265,9 @@ def make_handler(engine, index_stats: dict, batcher: MicroBatcher):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/admin/reload":
+                self._do_reload()
+                return
             if self.path != "/search":
                 self._reply(404, {"error": "not found"})
                 return
@@ -246,14 +315,57 @@ def make_handler(engine, index_stats: dict, batcher: MicroBatcher):
                 log.error("search failed: %s", exc)
                 self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
 
+        def _do_reload(self):
+            """Zero-downtime index reload: ``arag index --append`` grew
+            the on-disk index; this loads + uploads the grown index on
+            THIS handler thread (old index keeps serving), then swaps
+            engine state on the dispatch thread behind a completion
+            barrier (MicroBatcher.run_control). Body (all optional when
+            the server was started with default paths):
+            {"index_dir": str, "corpus_dir": str, "bm25_path": str}."""
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                defaults = reload_paths or {}
+                index_dir = req.get("index_dir") or defaults.get("index")
+                if not index_dir:
+                    raise ValueError(
+                        "no index_dir: pass it in the body or start the "
+                        "server with a default index path"
+                    )
+                corpus_dir = req.get("corpus_dir") or defaults.get("corpus")
+                with reload_lock:
+                    t0 = time.perf_counter()
+                    swap = engine.prepare_reload(
+                        index_dir, corpus_dir=corpus_dir,
+                        bm25_path=req.get("bm25_path"),
+                    )
+                    load_s = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    info = batcher.run_control(swap)
+                index_stats.update(
+                    {k: info[k] for k in ("rows", "dim", "dtype") if k in info}
+                )
+                METRICS.inc("serve.reloads")
+                log.info("index reloaded: %s (load %.1fs, swap %.3fs)",
+                         info, load_s, time.perf_counter() - t0)
+                self._reply(200, {"status": "reloaded", **info,
+                                  "load_s": round(load_s, 2)})
+            except (ValueError, FileNotFoundError, json.JSONDecodeError) as exc:
+                self._reply(400, {"error": str(exc)})
+            except Exception as exc:  # noqa: BLE001 — keep serving old state
+                log.error("reload failed: %s", exc)
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
     return Handler
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8080,
           index_stats: dict | None = None, max_batch: int = 512,
-          batch_window_ms: float = 4.0):
+          batch_window_ms: float = 4.0, reload_paths: dict | None = None):
     """Blocking serve loop. Returns the server object when used with
-    ``serve_in_thread`` for tests."""
+    ``serve_in_thread`` for tests. ``reload_paths`` ({"index": dir,
+    "corpus": dir}) supplies /admin/reload's default locations."""
     stats = index_stats or {}
     batcher = MicroBatcher(engine, max_batch=max_batch,
                            batch_window_ms=batch_window_ms)
@@ -266,7 +378,8 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8080,
         request_queue_size = 512
         daemon_threads = True
 
-    httpd = _Server((host, port), make_handler(engine, stats, batcher))
+    httpd = _Server((host, port),
+                    make_handler(engine, stats, batcher, reload_paths))
     httpd.batcher = batcher  # kept for close() in tests
     log.info("serving on http://%s:%d (micro-batch window %.1f ms, max %d)",
              host, port, batch_window_ms, max_batch)
@@ -275,11 +388,13 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8080,
 
 def serve_in_thread(engine, host: str = "127.0.0.1", port: int = 0,
                     index_stats: dict | None = None, max_batch: int = 512,
-                    batch_window_ms: float = 4.0):
+                    batch_window_ms: float = 4.0,
+                    reload_paths: dict | None = None):
     """Start in a daemon thread (tests / embedding into other apps).
     Returns (server, thread); server.server_address has the bound port."""
     httpd = serve(engine, host, port, index_stats,
-                  max_batch=max_batch, batch_window_ms=batch_window_ms)
+                  max_batch=max_batch, batch_window_ms=batch_window_ms,
+                  reload_paths=reload_paths)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd, thread
