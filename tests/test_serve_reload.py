@@ -118,6 +118,47 @@ def test_engine_reload_hybrid_rebuilds_bm25(stack):
     assert hits[0].paper_id == "n007"
 
 
+def test_engine_reload_with_ivf_delta(stack):
+    """Reload picks up the refreshed IVF delta (`IVFIndex.extend` after
+    append) and the engine keeps routing nprobe searches through it."""
+    from arxiv_rag_tpu.config import RetrievalConfig
+    from arxiv_rag_tpu.index.ivf import IVFIndex
+
+    tmp_path, tok, emb, texts, cdir, idir = stack
+    idx = DenseIndex.load(idir)
+    IVFIndex.build(idx, 4, block_rows=128, iters=4, seed=0).save(idir)
+    eng = SearchEngine(idx, embedder=emb, corpus=CorpusReader(cdir),
+                       ivf=IVFIndex.load(idir, idx),
+                       cfg=RetrievalConfig(nprobe=4))
+    assert eng.search([texts[3]], k=3)[0][0].row == 3
+    new_texts = _grow(emb, texts, cdir, idir)
+    IVFIndex.extend(idir, DenseIndex.load(idir))  # refresh the delta
+    info = eng.prepare_reload(idir)()
+    assert info["ivf"] is True
+    assert eng.ivf.n_valid == len(texts) + len(new_texts)
+    hit = eng.search([new_texts[-1]], k=3)[0][0]  # via the IVF route
+    assert hit.paper_id == "n007" and "zebrafish" in hit.text
+
+
+def test_engine_reload_mesh_sharded(stack):
+    """Reload re-shards the grown index over the SAME mesh; the sharded
+    route serves the appended rows."""
+    from arxiv_rag_tpu.parallel import data_mesh
+
+    tmp_path, tok, emb, texts, cdir, idir = stack
+    mesh = data_mesh(4)
+    idx = DenseIndex.load(idir)
+    idx.to_device(mesh=mesh)
+    eng = SearchEngine(idx, embedder=emb, corpus=CorpusReader(cdir))
+    assert eng.search([texts[3]], k=3)[0][0].row == 3
+    new_texts = _grow(emb, texts, cdir, idir)
+    eng.prepare_reload(idir)()
+    assert eng.index._mesh is mesh
+    hit = eng.search([new_texts[-1]], k=3)[0][0]
+    assert hit.paper_id == "n007"
+    assert eng.search([texts[3]], k=3)[0][0].row == 3
+
+
 def test_engine_reload_dim_mismatch_rejected(stack, tmp_path):
     _, tok, emb, texts, cdir, idir = stack
     bad = tmp_path / "bad_index"
