@@ -901,6 +901,13 @@ def main() -> None:
     try:
         import jax
 
+        # honor an explicit CPU request: the env var alone does not stop
+        # the axon PJRT plugin from initializing (and HANGING during a
+        # tunnel outage) — the config update post-import does, exactly
+        # like tests/conftest.py
+        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+
         on_tpu_default = 2_000_000
         try:
             on_tpu_default = 2_000_000 if jax.default_backend() == "tpu" else 100_000
