@@ -939,6 +939,11 @@ def _add_serve(sub) -> None:
                         "sized from corpus metadata, min 512 MB — at 2M rows "
                         "the text column alone exceeds the old fixed 512 MB "
                         "and warm_hydration churned through eviction)")
+    p.add_argument("--admin-token", default=None,
+                   help="shared secret for POST /admin/reload path "
+                        "overrides (X-Admin-Token header); without it, "
+                        "reload only accepts the --index/--corpus paths "
+                        "this server was started with")
 
 
 def cmd_serve(args) -> int:
@@ -991,6 +996,7 @@ def cmd_serve(args) -> int:
         # POST /admin/reload picks up `arag index --append` growth from
         # these locations with zero downtime
         reload_paths={"index": args.index, "corpus": args.corpus},
+        admin_token=args.admin_token,
     )
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
     # graceful SIGTERM (the downloader's shutdown contract, applied to

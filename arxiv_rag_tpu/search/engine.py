@@ -127,6 +127,7 @@ class SearchEngine:
         corpus_dir=None,
         bm25_path: str | None = None,
         cache_bytes: int | None = None,
+        warm_buckets: tuple[int, ...] = (8, 32),
     ):
         """Load a grown/rebuilt index (and its IVF delta / corpus / BM25
         side) WITHOUT touching the live engine, returning a zero-IO
@@ -162,9 +163,10 @@ class SearchEngine:
         new_ivf = None
         if IVFIndex.exists(index_dir):
             new_ivf = IVFIndex.load(index_dir, new_idx)
-            if self.cfg.nprobe and mesh is None:
-                new_ivf.to_device()
-        new_idx.to_device(mesh=mesh)
+        # corpus + BM25 load AND validation run BEFORE the multi-GB device
+        # upload: a stale bm25_path must fail fast, not after paying the
+        # tunnel transfer, and the old+new HBM coexistence window should
+        # not span the BM25 rebuild
         new_corpus = None
         if self.corpus is not None or corpus_dir is not None:
             from arxiv_rag_tpu.store.corpus import CorpusReader
@@ -189,6 +191,43 @@ class SearchEngine:
                 f"reload bm25 has {new_bm25.num_docs} docs but index has "
                 f"{new_idx.num_rows} rows — stale bm25_path?"
             )
+        new_idx.to_device(mesh=mesh)
+        if new_ivf is not None and self.cfg.nprobe and mesh is None:
+            new_ivf.to_device()
+        # pre-swap warm on a SHADOW engine (shares the process-wide jit
+        # and AOT caches with the live one): an appended index usually
+        # pads to a NEW row count, so every fused-kernel executable is
+        # cold for the new shapes — warming here keeps the multi-minute
+        # Mosaic compiles and the cold hydration fill on THIS thread
+        # while the old index serves, instead of stalling the first
+        # post-swap window. swap() then adopts the shadow's warmed
+        # derived state (row map, meta cache, sharded-IVF layout).
+        shadow = SearchEngine(
+            new_idx, embedder=self.embedder, corpus=new_corpus,
+            cfg=self.cfg, bm25=new_bm25, reranker=self.reranker,
+            use_pallas=self.use_pallas, ivf=new_ivf,
+        )
+        shadow.lazy_hydration = self.lazy_hydration
+        if warm_buckets:
+            ks = {min(self.cfg.top_k, 128)}
+            if new_bm25 is not None or self.reranker is not None:
+                ks.add(min(max(self.cfg.top_k, self.cfg.rerank_top_k), 128))
+            for qb in warm_buckets:
+                for kk in sorted(ks):
+                    try:
+                        shadow.search_embeddings(
+                            np.zeros((qb, new_idx.dim), np.float32), kk
+                        )
+                    except Exception as exc:  # noqa: BLE001 — warm best-effort
+                        log.warning("reload warm (Q=%d, k=%d) failed: %s",
+                                    qb, kk, exc)
+            try:
+                if shadow._use_lazy_hydration():
+                    shadow.warm_hydration()
+                else:
+                    shadow._load_meta()
+            except Exception as exc:  # noqa: BLE001
+                log.warning("reload hydration warm failed: %s", exc)
 
         def swap() -> dict:
             old_idx, old_ivf = self.index, self.ivf
@@ -198,11 +237,12 @@ class SearchEngine:
                 self.corpus = new_corpus
             if new_bm25 is not None:
                 self.bm25 = new_bm25
-            # per-index caches rebuild lazily against the new objects
-            self._row_map = None
-            self._meta_cache = None
-            self._meta_by_id = None
-            self._sharded_ivf_cache = None
+            # adopt the shadow's pre-warmed derived state
+            self._row_map = shadow._row_map
+            self._meta_cache = shadow._meta_cache
+            self._meta_by_id = shadow._meta_by_id
+            self._sharded_ivf_cache = getattr(shadow, "_sharded_ivf_cache",
+                                              None)
             # free the old device buffers now — the barrier guarantees
             # nothing in flight references them, and waiting for GC
             # prolongs the old+new HBM peak

@@ -241,7 +241,8 @@ class MicroBatcher:
 
 
 def make_handler(engine, index_stats: dict, batcher: MicroBatcher,
-                 reload_paths: dict | None = None):
+                 reload_paths: dict | None = None,
+                 admin_token: str | None = None):
     reload_lock = threading.Lock()  # one reload at a time; serving unaffected
 
     class Handler(BaseHTTPRequestHandler):
@@ -327,6 +328,25 @@ def make_handler(engine, index_stats: dict, batcher: MicroBatcher,
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 defaults = reload_paths or {}
+                if admin_token is not None:
+                    if self.headers.get("X-Admin-Token") != admin_token:
+                        self._reply(403, {"error": "bad or missing "
+                                                   "X-Admin-Token"})
+                        return
+                else:
+                    # without a token, only the PRECONFIGURED locations
+                    # may be (re)loaded — arbitrary client-supplied paths
+                    # would let anyone who can reach the port swap the
+                    # live index or probe the filesystem
+                    for key, dflt in (("index_dir", defaults.get("index")),
+                                      ("corpus_dir", defaults.get("corpus")),
+                                      ("bm25_path", None)):
+                        v = req.get(key)
+                        if v is not None and str(v) != str(dflt or ""):
+                            self._reply(403, {
+                                "error": f"{key} override requires the "
+                                         "server's --admin-token"})
+                            return
                 index_dir = req.get("index_dir") or defaults.get("index")
                 if not index_dir:
                     raise ValueError(
@@ -343,9 +363,12 @@ def make_handler(engine, index_stats: dict, batcher: MicroBatcher,
                     load_s = time.perf_counter() - t0
                     t0 = time.perf_counter()
                     info = batcher.run_control(swap)
-                index_stats.update(
-                    {k: info[k] for k in ("rows", "dim", "dtype") if k in info}
-                )
+                    # inside the lock: two back-to-back reloads must
+                    # publish their /healthz stats in swap order
+                    index_stats.update(
+                        {kk: info[kk] for kk in ("rows", "dim", "dtype")
+                         if kk in info}
+                    )
                 METRICS.inc("serve.reloads")
                 log.info("index reloaded: %s (load %.1fs, swap %.3fs)",
                          info, load_s, time.perf_counter() - t0)
@@ -362,10 +385,12 @@ def make_handler(engine, index_stats: dict, batcher: MicroBatcher,
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8080,
           index_stats: dict | None = None, max_batch: int = 512,
-          batch_window_ms: float = 4.0, reload_paths: dict | None = None):
+          batch_window_ms: float = 4.0, reload_paths: dict | None = None,
+          admin_token: str | None = None):
     """Blocking serve loop. Returns the server object when used with
     ``serve_in_thread`` for tests. ``reload_paths`` ({"index": dir,
-    "corpus": dir}) supplies /admin/reload's default locations."""
+    "corpus": dir}) supplies /admin/reload's default locations; without
+    ``admin_token``, reload accepts ONLY those locations."""
     stats = index_stats or {}
     batcher = MicroBatcher(engine, max_batch=max_batch,
                            batch_window_ms=batch_window_ms)
@@ -379,7 +404,8 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8080,
         daemon_threads = True
 
     httpd = _Server((host, port),
-                    make_handler(engine, stats, batcher, reload_paths))
+                    make_handler(engine, stats, batcher, reload_paths,
+                                 admin_token))
     httpd.batcher = batcher  # kept for close() in tests
     log.info("serving on http://%s:%d (micro-batch window %.1f ms, max %d)",
              host, port, batch_window_ms, max_batch)
@@ -389,12 +415,13 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8080,
 def serve_in_thread(engine, host: str = "127.0.0.1", port: int = 0,
                     index_stats: dict | None = None, max_batch: int = 512,
                     batch_window_ms: float = 4.0,
-                    reload_paths: dict | None = None):
+                    reload_paths: dict | None = None,
+                    admin_token: str | None = None):
     """Start in a daemon thread (tests / embedding into other apps).
     Returns (server, thread); server.server_address has the bound port."""
     httpd = serve(engine, host, port, index_stats,
                   max_batch=max_batch, batch_window_ms=batch_window_ms,
-                  reload_paths=reload_paths)
+                  reload_paths=reload_paths, admin_token=admin_token)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd, thread

@@ -726,7 +726,7 @@ def run_bench(result: dict, errors: list, n_rows: int) -> None:
             hard - 120.0 - (time.perf_counter() - T0),
         )
 
-        def _ivf_phase() -> None:
+        def _ivf_phase() -> dict:
             from arxiv_rag_tpu.ops.pallas_ivf import (
                 cluster_block_table,
                 ivf_topk_device,
@@ -747,7 +747,11 @@ def run_bench(result: dict, errors: list, n_rows: int) -> None:
             # below then shares the int8 phase's already-warm AOT payload
             # (4096 % 1024 == 0 keeps the IVF kernel block-aligned too);
             # the last 1024-block must sit entirely past n_valid — it is
-            # the block table's designated dead pad target
+            # the block table's designated dead pad target. NOTE the bump:
+            # when (-n_rows) % 4096 < 1024 (n_rows near a 4096 multiple)
+            # the shapes diverge from the int8 phase and the flat scan
+            # pays its own compile — true at some ARAG_BENCH_ROWS
+            # overrides, never at the 2M default (pad there is 2944)
             padded = n_rows + (-n_rows) % BLOCK_ROWS
             if padded - n_rows < ivf_block:
                 padded += BLOCK_ROWS
@@ -820,15 +824,20 @@ def run_bench(result: dict, errors: list, n_rows: int) -> None:
                     for _ in range(6)]
             _ = np.asarray(outs[-1][0])
             ivf_s = (time.perf_counter() - t0) / 6
-            result["ivf_qps_at_q32_pipelined"] = round(q_batch / ivf_s, 1)
-            result["ivf_flat_qps_int8"] = round(q_batch / flat_s, 1)
-            result["ivf_speedup_vs_flat"] = round(flat_s / ivf_s, 2)
-            result["ivf_recall_at_10_vs_flat"] = round(float(rec), 4)
-            result["ivf_nprobe"] = nprobe
-            result["ivf_clusters"] = n_cl
             log(f"ivf device-planned nprobe={nprobe}: {ivf_s * 1e3:.2f} ms "
                 f"amortized -> {q_batch / ivf_s:.0f} qps "
                 f"({flat_s / ivf_s:.2f}x flat), recall@{k} vs flat = {rec:.4f}")
+            # returned (not written to `result` directly): an abandoned
+            # watchdogged thread mutating the shared dict could tear the
+            # emitted JSON line — fields merge only after a clean join
+            return {
+                "ivf_qps_at_q32_pipelined": round(q_batch / ivf_s, 1),
+                "ivf_flat_qps_int8": round(q_batch / flat_s, 1),
+                "ivf_speedup_vs_flat": round(flat_s / ivf_s, 2),
+                "ivf_recall_at_10_vs_flat": round(float(rec), 4),
+                "ivf_nprobe": nprobe,
+                "ivf_clusters": n_cl,
+            }
 
         if ivf_budget < 60:
             errors.append("ivf: skipped, no time budget")
@@ -838,7 +847,7 @@ def run_bench(result: dict, errors: list, n_rows: int) -> None:
 
             def _ivf_run() -> None:
                 try:
-                    _ivf_phase()
+                    ivf_box["fields"] = _ivf_phase()
                     ivf_box["ok"] = True
                 except Exception as exc:  # noqa: BLE001
                     ivf_box["err"] = exc
@@ -846,10 +855,12 @@ def run_bench(result: dict, errors: list, n_rows: int) -> None:
             it = threading.Thread(target=_ivf_run, daemon=True)
             it.start()
             it.join(ivf_budget)
-            if "err" in ivf_box:
+            if ivf_box.get("ok"):
+                result.update(ivf_box["fields"])
+            elif "err" in ivf_box:
                 errors.append(f"ivf: {str(ivf_box['err'])[:200]}")
                 log(f"ivf phase failed: {ivf_box['err']}")
-            elif not ivf_box.get("ok"):
+            else:
                 errors.append(f"ivf: watchdog {ivf_budget:.0f}s")
                 log(f"ivf phase still running after {ivf_budget:.0f}s; "
                     "abandoned (every other field is already recorded)")

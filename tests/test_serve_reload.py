@@ -39,10 +39,11 @@ def _texts(n, seed):
     return [" ".join(rng.choice(WORDS, size=10)) for _ in range(n)]
 
 
-def _post(port, path, body) -> tuple[int, dict]:
+def _post(port, path, body, headers=None) -> tuple[int, dict]:
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}", data=json.dumps(body).encode(),
-        headers={"Content-Type": "application/json"}, method="POST")
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST")
     try:
         with urllib.request.urlopen(req, timeout=60) as r:
             return r.status, json.loads(r.read())
@@ -227,11 +228,41 @@ def test_http_reload_bad_dir_keeps_serving(stack):
     try:
         st, out = _post(port, "/admin/reload", {})
         assert st == 400 and "index_dir" in out["error"]
+        # path overrides without a token are refused (any client who can
+        # reach the port must not be able to swap the live index)
         st, out = _post(port, "/admin/reload",
                         {"index_dir": str(tmp_path / "nope")})
-        assert st in (400, 500)
+        assert st == 403 and "admin-token" in out["error"]
         st, out = _post(port, "/search", {"queries": [texts[3]], "k": 3})
         assert st == 200 and out["results"][0][0]["row"] == 3
+    finally:
+        httpd.batcher.close()
+        httpd.shutdown()
+
+
+def test_http_reload_admin_token(stack):
+    tmp_path, tok, emb, texts, cdir, idir = stack
+    eng = SearchEngine(DenseIndex.load(idir), embedder=emb,
+                       corpus=CorpusReader(cdir))
+    httpd, _ = serve_in_thread(eng, batch_window_ms=2.0,
+                               admin_token="s3cret")
+    port = httpd.server_address[1]
+    try:
+        # token configured: EVERY reload needs the header
+        st, out = _post(port, "/admin/reload", {"index_dir": str(idir)})
+        assert st == 403 and "X-Admin-Token" in out["error"]
+        new_texts = _grow(emb, texts, cdir, idir)
+        st, out = _post(port, "/admin/reload",
+                        {"index_dir": str(idir), "corpus_dir": str(cdir)},
+                        headers={"X-Admin-Token": "s3cret"})
+        assert st == 200 and out["rows"] == len(texts) + len(new_texts), out
+        # bad path WITH the token: clean client error, serving intact
+        st, out = _post(port, "/admin/reload",
+                        {"index_dir": str(tmp_path / "nope")},
+                        headers={"X-Admin-Token": "s3cret"})
+        assert st in (400, 500)
+        st, out = _post(port, "/search", {"queries": [new_texts[-1]], "k": 3})
+        assert st == 200 and out["results"][0][0]["paper_id"] == "n007"
     finally:
         httpd.batcher.close()
         httpd.shutdown()
