@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -52,10 +53,19 @@ def main() -> None:
     ap.add_argument("--corpus-dir", default=None,
                     help="cache dir for the synthetic corpus parquet "
                          "(default /tmp/arag_serve_corpus_<rows>)")
+    ap.add_argument("--reload-mid-run", action="store_true",
+                    help="save the index to disk and POST /admin/reload "
+                         "once ~1/3 of requests completed — measures the "
+                         "zero-downtime swap under saturating load "
+                         "(errors stay 0, reload timings reported)")
     args = ap.parse_args()
 
     import jax
 
+    # honor an explicit CPU request: env alone doesn't stop the axon
+    # plugin init (which hangs in a tunnel outage) — same as bench.py
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/arag_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -240,8 +250,21 @@ def main() -> None:
     from arxiv_rag_tpu.logging_utils import METRICS
 
     METRICS.reset()
+    reload_dir = None
+    if args.reload_mid_run:
+        from pathlib import Path as _PR
+
+        reload_dir = _PR(f"/tmp/arag_serve_index_{n_rows}_{args.dtype}")
+        if not (reload_dir / "index.json").exists():
+            t0 = time.perf_counter()
+            idx.save(reload_dir)  # fetches the device values once; cached
+            log(f"index saved for reload to {reload_dir} in "
+                f"{time.perf_counter() - t0:.0f}s")
+        else:
+            log(f"reload index dir reused: {reload_dir}")
     httpd, _thr = serve_in_thread(
         engine, batch_window_ms=args.batch_window_ms, max_batch=512,
+        reload_paths=None if reload_dir is None else {"index": str(reload_dir)},
     )
     host, port = httpd.server_address
     url = f"http://{host}:{port}/search"
@@ -300,8 +323,31 @@ def main() -> None:
             with lat_lock:
                 lat.append(time.perf_counter() - t0)
 
+    reload_result: dict = {}
+
+    def reload_trigger() -> None:
+        # fire once ~1/3 of requests completed: the swap lands mid-load
+        while True:
+            with lat_lock:
+                if len(lat) >= max(1, total // 3) or len(errs) == total:
+                    break
+            time.sleep(0.2)
+        tr = time.perf_counter()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/admin/reload", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=1200) as resp:
+                reload_result.update(json.loads(resp.read()))
+        except Exception as exc:  # noqa: BLE001 — reported, run continues
+            reload_result["error"] = str(exc)[:300]
+        reload_result["total_s"] = round(time.perf_counter() - tr, 2)
+        log(f"mid-run reload: {reload_result}")
+
     t0 = time.perf_counter()
     threads = [threading.Thread(target=client, args=(i,)) for i in range(args.clients)]
+    if reload_dir is not None:
+        threads.append(threading.Thread(target=reload_trigger))
     for t in threads:
         t.start()
     for t in threads:
@@ -345,6 +391,8 @@ def main() -> None:
         "backend": jax.default_backend(),
         "stages": stage_ms,
     }
+    if reload_dir is not None:
+        result["reload"] = reload_result
     print(json.dumps(result))
 
 
