@@ -161,6 +161,67 @@ def test_batcher_pipelined_errors_propagate():
     b.close()
 
 
+def test_run_control_runs_behind_completion_barrier():
+    """The concurrency invariant /admin/reload relies on: a control fn
+    executes on the dispatch thread ONLY after every previously
+    dispatched window's finish() has fully completed — even when that
+    finish is still running on the completion thread when the control
+    is picked up."""
+    eng = FakePipelinedEngine()
+    finish_running = threading.Event()
+    finish_release = threading.Event()
+    order: list[str] = []
+
+    real_dispatch = eng.search_dispatch
+
+    def slow_dispatch(queries, **kw):
+        fin = real_dispatch(queries, **kw)
+
+        def slow_finish():
+            finish_running.set()
+            finish_release.wait(timeout=30)
+            order.append("finish")
+            return fin()
+
+        return slow_finish
+
+    eng.search_dispatch = slow_dispatch
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=5.0)
+    t = threading.Thread(target=lambda: b.search(["q"], 3, None, None))
+    t.start()
+    finish_running.wait(timeout=30)  # window dispatched, finish in flight
+
+    def control():
+        order.append("control")
+        return "swapped"
+
+    ct = threading.Thread(
+        target=lambda: order.append(("result", b.run_control(control))))
+    ct.start()
+    import time as _t
+
+    _t.sleep(0.3)  # give the control every chance to (wrongly) run early
+    assert "control" not in order  # still barriered behind the finish
+    finish_release.set()
+    ct.join(timeout=30)
+    t.join(timeout=30)
+    b.close()
+    assert order == ["finish", "control", ("result", "swapped")]
+
+
+def test_run_control_error_propagates_and_serving_continues():
+    eng = FakeEngine()
+    b = MicroBatcher(eng, max_batch=64, batch_window_ms=5.0)
+
+    def bad_control():
+        raise ValueError("swap refused")
+
+    with pytest.raises(ValueError, match="swap refused"):
+        b.run_control(bad_control)
+    assert b.search(["ok"], 3, None, None)[0][0].chunk_id == "ok"
+    b.close()
+
+
 def test_batcher_preserves_empty_categories():
     """[] means 'match no category' (zero eligible rows) — collapsing
     it to None would silently drop the filter."""
