@@ -49,6 +49,9 @@ def main() -> None:
         "rerank512": ["--hybrid-alpha", "0.7", "--rerank",
                       "--rerank-pair-len", "512",
                       "--rerank-window-pairs", "0"],
+        # round-4: zero-downtime /admin/reload fired mid-run under the
+        # dense load point — errors must stay 0, reload record reported
+        "dense_reload": ["--reload-mid-run"],
     }
     suite = {"round": args.round, "rows": args.rows, "results": {}}
     for name in args.modes.split(","):
