@@ -311,15 +311,21 @@ class SearchEngine:
         qn_in = query_embs.shape[0]
         qn_real = qn_in if n_real is None else n_real
         qn_pad = self._query_bucket(qn_in)
+        # pad rows REPLICATE the last query (not zeros): results trim at
+        # finish either way, but on the IVF route a zero-vector pad tile
+        # would probe the zero vector's nearest clusters and stream their
+        # blocks for nothing — edge rows share the last real tile's probe
+        # set (index/ivf.py pads its own q_block remainder the same way)
+        pad_mode = "edge" if qn_in else "constant"
         if isinstance(query_embs, np.ndarray):
             q = np.asarray(query_embs, np.float32)
             if qn_pad != qn_in:
-                q = np.pad(q, ((0, qn_pad - qn_in), (0, 0)))
+                q = np.pad(q, ((0, qn_pad - qn_in), (0, 0)), mode=pad_mode)
             q = jnp.asarray(q)
         else:
             q = jnp.asarray(query_embs, jnp.float32)
             if qn_pad != qn_in:
-                q = jnp.pad(q, ((0, qn_pad - qn_in), (0, 0)))
+                q = jnp.pad(q, ((0, qn_pad - qn_in), (0, 0)), mode=pad_mode)
         n_valid = idx._n_valid
         # IVF route: cluster-pruned scan when an IVF delta is attached
         # and probing is requested (arg overrides cfg; 0 = flat/exact).
