@@ -267,7 +267,6 @@ def main() -> None:
         reload_paths=None if reload_dir is None else {"index": str(reload_dir)},
     )
     host, port = httpd.server_address
-    url = f"http://{host}:{port}/search"
     total = args.clients * args.queries_per_client
     lat: list[float] = []
     lat_lock = threading.Lock()
@@ -294,34 +293,45 @@ def main() -> None:
     qlock = threading.Lock()
 
     def client(ci: int) -> None:
-        for qi in range(args.queries_per_client):
-            with qlock:  # rng is not thread-safe
-                queries = make_queries(ci, qi)
-            payload = {
-                "queries": queries,
-                "k": 10,
-            }
-            if args.hybrid_alpha is not None:
-                payload["hybrid_alpha"] = args.hybrid_alpha
-            body = json.dumps(payload).encode()
-            t0 = time.perf_counter()
-            for attempt in (1, 2):  # one retry on transient connect errors
-                req = urllib.request.Request(
-                    url, data=body, headers={"Content-Type": "application/json"}
-                )
-                try:
-                    with urllib.request.urlopen(req, timeout=300) as resp:
+        import http.client
+
+        # keep-alive: one TCP connection per client for the whole run
+        # (the server speaks HTTP/1.1) — real clients pool the same way
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        try:
+            for qi in range(args.queries_per_client):
+                with qlock:  # rng is not thread-safe
+                    queries = make_queries(ci, qi)
+                payload = {
+                    "queries": queries,
+                    "k": 10,
+                }
+                if args.hybrid_alpha is not None:
+                    payload["hybrid_alpha"] = args.hybrid_alpha
+                body = json.dumps(payload).encode()
+                t0 = time.perf_counter()
+                for attempt in (1, 2):  # one retry on transient errors
+                    try:
+                        conn.request("POST", "/search", body,
+                                     {"Content-Type": "application/json"})
+                        resp = conn.getresponse()
                         out = json.loads(resp.read())
-                        assert out["results"][0], "empty results"
-                    break
-                except Exception as exc:  # noqa: BLE001
-                    if attempt == 2:
-                        with lat_lock:
-                            errs.append(str(exc))
-                        return
-                    time.sleep(0.05)
-            with lat_lock:
-                lat.append(time.perf_counter() - t0)
+                        assert resp.status == 200 and out["results"][0], (
+                            resp.status, out)
+                        break
+                    except Exception as exc:  # noqa: BLE001
+                        conn.close()
+                        conn = http.client.HTTPConnection(host, port,
+                                                          timeout=300)
+                        if attempt == 2:
+                            with lat_lock:
+                                errs.append(str(exc))
+                            return
+                        time.sleep(0.05)
+                with lat_lock:
+                    lat.append(time.perf_counter() - t0)
+        finally:
+            conn.close()
 
     reload_result: dict = {}
 
