@@ -78,8 +78,9 @@ def _grow(emb, texts, cdir, idir, n_new=8):
         for j, t in enumerate(new_texts):
             w.add(ChunkRecord(paper_id=f"n{j:03d}", text=t, category="cs.CV",
                               section="body", page=2, quality=1.0))
-    append_index(idir, emb.encode_texts(new_texts),
-                 categories=["cs.CV"] * n_new)
+    if idir is not None:
+        append_index(idir, emb.encode_texts(new_texts),
+                     categories=["cs.CV"] * n_new)
     return new_texts
 
 
@@ -158,6 +159,34 @@ def test_engine_reload_mesh_sharded(stack):
     hit = eng.search([new_texts[-1]], k=3)[0][0]
     assert hit.paper_id == "n007"
     assert eng.search([texts[3]], k=3)[0][0].row == 3
+
+
+def test_engine_reload_with_chunk_ids_subset(stack):
+    """Quality-filtered lifecycle: the index covers a SUBSET of corpus
+    rows, joined through chunk_ids. After append + reload, hydration
+    must keep mapping index rows to the right corpus rows."""
+    tmp_path, tok, emb, texts, cdir, idir = stack
+    keep = [i for i in range(len(texts)) if i % 3 != 0]  # drop every 3rd
+    sdir = tmp_path / "subset_index"
+    build_index(emb.encode_texts([texts[i] for i in keep]),
+                categories=["cs.LG"] * len(keep),
+                chunk_ids=[f"p{i:03d}#0" for i in keep]).save(sdir)
+    eng = SearchEngine(DenseIndex.load(sdir), embedder=emb,
+                       corpus=CorpusReader(cdir))
+    hit = eng.search([texts[keep[4]]], k=3)[0][0]
+    assert hit.text == texts[keep[4]] and hit.paper_id == f"p{keep[4]:03d}"
+    # grow the corpus AND the subset index (new rows all kept)
+    new_texts = _grow(emb, texts, cdir, idir=None, n_new=6)
+    append_index(sdir, emb.encode_texts(new_texts),
+                 categories=["cs.CV"] * len(new_texts),
+                 chunk_ids=[f"n{j:03d}#0" for j in range(len(new_texts))])
+    info = eng.prepare_reload(sdir)()
+    assert info["rows"] == len(keep) + len(new_texts)
+    hit = eng.search([new_texts[-1]], k=3)[0][0]
+    assert hit.paper_id == "n005" and "zebrafish" in hit.text
+    # old subset rows still hydrate through the chunk_id join
+    hit = eng.search([texts[keep[4]]], k=3)[0][0]
+    assert hit.text == texts[keep[4]]
 
 
 def test_engine_reload_dim_mismatch_rejected(stack, tmp_path):
