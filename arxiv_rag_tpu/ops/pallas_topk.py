@@ -349,6 +349,169 @@ def _topk_kernel(
                         block_max,
                     ),
                 )
+            elif merge_impl in ("group1", "group2"):
+                # GROUP-CACHED extraction (round 4, unmeasured on hardware
+                # until the tunnel returns — default stays "extract").
+                # Premise, from the round-3 cost decomposition: the merge
+                # costs ~1 us per while-trip ≈ one [QB, BN] VPU pass, and
+                # "staged" stayed neutral because its per-trip group
+                # GATHER touched the same [QB, BN] traffic. This impl
+                # removes the per-trip gather: cache each 128-lane group's
+                # top-1 (group1) or top-1+top-2 (group2) once, then run
+                # the extraction loop on [QB, G] arrays (G = BN/128, 32x
+                # narrower). A group whose cache is consumed goes STALE,
+                # carrying an upper BOUND on its remaining lanes (the last
+                # value extracted from it — per-group extractions are
+                # non-increasing), so winner selection stays sound; only
+                # when a stale group actually WINS selection for an
+                # improving query does one scalar-gated gather pass
+                # refill it. Already-extracted lanes are re-masked
+                # exactly: they are precisely the lanes valued > vlast
+                # plus the ne lowest-index lanes valued == vlast (global
+                # min-column tie-breaking extracts equal values lowest
+                # lane first within a group).
+                # Tie parity with lax.top_k: groups cover ascending
+                # column ranges and l1 is the min lane achieving the
+                # group max, so min-group-then-min-lane == min-column.
+                n_groups = block_rows // LANES
+                qn_ = scores.shape[0]
+                gcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
+                llane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                segs = [
+                    scores[:, g * LANES : (g + 1) * LANES] for g in range(n_groups)
+                ]
+
+                def top2_of(seg, want_second):
+                    m1 = jnp.max(seg, axis=1, keepdims=True)
+                    l1_ = jnp.min(
+                        jnp.where(seg == m1, llane, _HUGE_COL), axis=1, keepdims=True
+                    )
+                    # an all(-inf) group is FRESH with value -inf (lane 0):
+                    # it can never win while any finite candidate remains,
+                    # and the cond gate keeps it from extracting at all
+                    l1_ = jnp.where(m1 == NEG_INF, 0, l1_)
+                    if not want_second:
+                        return m1, l1_, None, None
+                    rest = jnp.where(llane == l1_, NEG_INF, seg)
+                    m2 = jnp.max(rest, axis=1, keepdims=True)
+                    l2_ = jnp.min(
+                        jnp.where(rest == m2, llane, _HUGE_COL), axis=1, keepdims=True
+                    )
+                    l2_ = jnp.where(m2 == NEG_INF, -1, l2_)  # -1 = no cache
+                    return m1, l1_, m2, l2_
+
+                want2 = merge_impl == "group2"
+                tops = [top2_of(s, want2) for s in segs]
+                v1 = jnp.concatenate([t[0] for t in tops], axis=1)  # [QB,G]
+                l1 = jnp.concatenate([t[1] for t in tops], axis=1)
+                if want2:
+                    v2 = jnp.concatenate([t[2] for t in tops], axis=1)
+                    l2 = jnp.concatenate([t[3] for t in tops], axis=1)
+                else:
+                    v2 = jnp.full((qn_, n_groups), NEG_INF, jnp.float32)
+                    l2 = jnp.full((qn_, n_groups), -1, jnp.int32)
+                vlast = jnp.full((qn_, n_groups), jnp.inf, jnp.float32)
+                ne = jnp.zeros((qn_, n_groups), jnp.int32)
+                # strict lower-triangular lane matrix: (eq @ LT)[q, j] =
+                # #equal lanes left of j — one tiny MXU matmul per refill
+                lt_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                lt_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+                lt = (lt_r < lt_c).astype(jnp.float32)
+
+                def gcond(state):
+                    v1, l1, v2, l2, vlast, ne, sv, si = state
+                    return jnp.any(
+                        jnp.max(v1, axis=1, keepdims=True) > sv[:, k - 1 : k]
+                    )
+
+                def gbody(state):
+                    v1, l1, v2, l2, vlast, ne, sv, si = state
+                    m = jnp.max(v1, axis=1, keepdims=True)  # [QB,1]
+                    sel_g = jnp.min(
+                        jnp.where(v1 == m, gcols, _HUGE_COL), axis=1, keepdims=True
+                    )  # [QB,1]
+                    winner = gcols == sel_g  # [QB,G]
+                    sel_l1 = jnp.sum(
+                        jnp.where(winner, l1, 0), axis=1, keepdims=True
+                    )  # [QB,1]
+                    stale = sel_l1 < 0
+                    improve = m > sv[:, k - 1 : k]  # [QB,1]
+
+                    def refill(caches):
+                        v1, l1, v2, l2 = caches
+                        fresh = jnp.full((qn_, LANES), NEG_INF, jnp.float32)
+                        for g in range(n_groups):
+                            fresh = jnp.where(sel_g == g, segs[g], fresh)
+                        selv = jnp.max(
+                            jnp.where(winner, vlast, NEG_INF), axis=1, keepdims=True
+                        )
+                        seln = jnp.sum(
+                            jnp.where(winner, ne, 0), axis=1, keepdims=True
+                        )
+                        eq = fresh == selv
+                        exc = jax.lax.dot_general(
+                            eq.astype(jnp.float32), lt,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        gone = (fresh > selv) | (
+                            eq & (exc < seln.astype(jnp.float32))
+                        )
+                        masked = jnp.where(gone, NEG_INF, fresh)
+                        nm1 = jnp.max(masked, axis=1, keepdims=True)
+                        nl1 = jnp.min(
+                            jnp.where(masked == nm1, llane, _HUGE_COL),
+                            axis=1, keepdims=True,
+                        )
+                        nl1 = jnp.where(nm1 == NEG_INF, 0, nl1)
+                        rest = jnp.where(llane == nl1, NEG_INF, masked)
+                        nm2 = jnp.max(rest, axis=1, keepdims=True)
+                        nl2 = jnp.min(
+                            jnp.where(rest == nm2, llane, _HUGE_COL),
+                            axis=1, keepdims=True,
+                        )
+                        nl2 = jnp.where(nm2 == NEG_INF, -1, nl2)
+                        upd = winner & stale & improve
+                        return (
+                            jnp.where(upd, nm1, v1),
+                            jnp.where(upd, nl1, l1),
+                            jnp.where(upd, nm2, v2),
+                            jnp.where(upd, nl2, l2),
+                        )
+
+                    v1, l1, v2, l2 = jax.lax.cond(
+                        jnp.any(stale & improve),
+                        refill,
+                        lambda caches: caches,
+                        (v1, l1, v2, l2),
+                    )
+                    # refilled winners extract on the NEXT trip (their v1
+                    # may have dropped below another group's); this trip
+                    # extracts only queries whose winner was already fresh
+                    ext = improve & jnp.logical_not(stale)  # [QB,1]
+                    col = sel_g * LANES + sel_l1
+                    gid = col + blk * block_rows
+                    sv, si = insert(sv, si, m, gid, ext)
+                    selv = jnp.max(
+                        jnp.where(winner, vlast, NEG_INF), axis=1, keepdims=True
+                    )
+                    seln = jnp.sum(jnp.where(winner, ne, 0), axis=1, keepdims=True)
+                    nne = jnp.where(m == selv, seln + 1, 1)
+                    cons = winner & ext  # [QB,G]
+                    vlast = jnp.where(cons, m, vlast)
+                    ne = jnp.where(cons, nne, ne)
+                    # promote the cached second (or go stale with bound m)
+                    v1 = jnp.where(cons, jnp.where(l2 >= 0, v2, m), v1)
+                    l1 = jnp.where(cons, l2, l1)
+                    v2 = jnp.where(cons, NEG_INF, v2)
+                    l2 = jnp.where(cons, -1, l2)
+                    return (v1, l1, v2, l2, vlast, ne, sv, si)
+
+                _, _, _, _, _, _, sv, si = jax.lax.while_loop(
+                    gcond, gbody,
+                    (v1, l1, v2, l2, vlast, ne,
+                     svals_ref[srows, :], sidx_ref[srows, :]),
+                )
             else:
                 # "extract" or "extractN": N max-extractions per while-loop
                 # trip (bitwise-exact: the body is a fixed point once every
@@ -643,7 +806,8 @@ def fused_topk(
     """Fused flat-scan top-k. ``index`` [N, D] (f32/bf16), rows
     L2-normalized; ``queries`` [Q, D]. Returns (values [Q,k], ids [Q,k]).
     ``_merge`` picks the in-kernel merge implementation ("extract" |
-    "staged", see _topk_kernel)."""
+    "extractN" | "staged" | "group1" | "group2" — all bit-identical,
+    see _topk_kernel; "extract" stays the measured default)."""
     if interpret is None:
         interpret = _interpret_default()
     qn = queries.shape[0]

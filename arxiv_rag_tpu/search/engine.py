@@ -369,7 +369,8 @@ class SearchEngine:
                     )
 
                     def finish_ivf_dev() -> tuple[np.ndarray, np.ndarray]:
-                        v, r = fin()
+                        with METRICS.timer("search.fetch"):
+                            v, r = fin()
                         return v[:qn_real], r[:qn_real]
 
                     return finish_ivf_dev
@@ -419,7 +420,12 @@ class SearchEngine:
                     vals, rows = self._xla_plain(q, k)
 
         def finish() -> tuple[np.ndarray, np.ndarray]:
-            return np.asarray(vals)[:qn_real], np.asarray(rows)[:qn_real]
+            # the fetch is the window's one device round trip (~30 ms+
+            # through the tunnel) — timed separately so serve_bench stage
+            # breakdowns account for it (round-4: hybrid windows showed
+            # ~100 ms unattributed between the stage timers)
+            with METRICS.timer("search.fetch"):
+                return np.asarray(vals)[:qn_real], np.asarray(rows)[:qn_real]
 
         return finish
 

@@ -329,3 +329,85 @@ def test_unrolled_extract_merge_matches_extract_exactly():
     _, idd = fused_topk(jnp.asarray(xd), qj, 10, n_valid=640, block_rows=256,
                         _merge="extract8")
     assert (np.asarray(idd) == np.arange(10)).all()
+
+
+def test_group_merge_matches_extract_and_topk_order():
+    """The group-cached merges (round 4: per-128-lane-group top-1/top-2
+    cache, lazy bound-carrying refill) must be bit-identical to extract
+    and to lax.top_k's lowest-index-wins order — including exact ties
+    from duplicated rows within one group, across groups, and across
+    blocks (ties are what exercise the (vlast, ne) re-masking rule)."""
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((500, 64)).astype(np.float32)
+    x = np.concatenate([base, base[:250], base[:125]], axis=0)  # 875 rows
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.integers(0, 500, 24)] + 0.01 * rng.standard_normal((24, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    xj, qj = jnp.asarray(x), jnp.asarray(q)
+    import jax
+
+    lv, li = jax.lax.top_k(jnp.asarray(q @ x.T), 10)
+    for merge in ("group1", "group2"):
+        for br in (256, 512):
+            ve, ie = fused_topk(xj, qj, 10, n_valid=875, block_rows=br,
+                                _merge="extract")
+            vg, ig = fused_topk(xj, qj, 10, n_valid=875, block_rows=br,
+                                _merge=merge)
+            np.testing.assert_array_equal(np.asarray(ie), np.asarray(ig))
+            np.testing.assert_allclose(np.asarray(ve), np.asarray(vg), atol=0)
+            np.testing.assert_array_equal(np.asarray(ig), np.asarray(li))
+    # pathological: every row identical — ids must be 0..k-1 (each group
+    # is drained past its cache depth, forcing refills on every group)
+    xd = np.tile(x[:1], (640, 1))
+    xd /= np.linalg.norm(xd, axis=1, keepdims=True)
+    for merge in ("group1", "group2"):
+        _, idd = fused_topk(jnp.asarray(xd), qj, 10, n_valid=640,
+                            block_rows=256, _merge=merge)
+        assert (np.asarray(idd) == np.arange(10)).all()
+
+
+def test_group_merge_k_equals_lanes_tie_dense():
+    """k = 128 (the scratch width) on a tiny value alphabet: every
+    group's cache is consumed many times over, duplicates of the same
+    value span refill generations — the worst case for the extracted-
+    lane reconstruction (> vlast, plus ne lowest equal lanes)."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 3, size=(1024, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-9
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    xj, qj = jnp.asarray(x), jnp.asarray(q)
+    import jax
+
+    lv, li = jax.lax.top_k(jnp.asarray(q @ x.T), 128)
+    for merge in ("group1", "group2"):
+        vg, ig = fused_topk(xj, qj, 128, block_rows=256, _merge=merge)
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(li))
+        np.testing.assert_allclose(np.asarray(vg), np.asarray(lv),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_group_merge_int8_and_masked_paths():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1100, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    v8, s8 = quantize_int8(jnp.asarray(x))
+    masks = jnp.asarray(rng.integers(1, 8, size=(1100,)).astype(np.uint32))
+    qmask = jnp.asarray(np.full((16,), 3, np.uint32))
+    for merge in ("group1", "group2"):
+        for variant in ("s8s8", "row"):
+            ie = np.asarray(fused_topk_int8(
+                v8, s8, jnp.asarray(q), 10, n_valid=1100, block_rows=256,
+                _variant=variant, _merge="extract")[1])
+            ig = np.asarray(fused_topk_int8(
+                v8, s8, jnp.asarray(q), 10, n_valid=1100, block_rows=256,
+                _variant=variant, _merge=merge)[1])
+            np.testing.assert_array_equal(ie, ig)
+        ime = np.asarray(fused_topk_masked(
+            jnp.asarray(x), masks, qmask, jnp.asarray(q), 10, n_valid=1100,
+            block_rows=256, _merge="extract")[1])
+        img = np.asarray(fused_topk_masked(
+            jnp.asarray(x), masks, qmask, jnp.asarray(q), 10, n_valid=1100,
+            block_rows=256, _merge=merge)[1])
+        np.testing.assert_array_equal(ime, img)

@@ -1,14 +1,16 @@
-"""A/B the fused-kernel merge unroll factor on the real TPU — AMORTIZED.
+"""A/B the fused-kernel merge implementations on the real TPU — AMORTIZED.
 
 Round-3 decomposition (CLAUDE.md): at Q=512 the extract merge adds
-~7.4-7.9 ms/call of while-loop per-iteration scalar sync (staged ==
-extract exactly, so bodies are ~free). ``extractN`` amortizes N
-extractions per cond eval; this tool measures whether the sync count is
-really the cost, sweeping N for the two serving dtypes.
+~7.4-7.9 ms/call, ~1 us ≈ one [QB, BN] VPU pass per while-trip.
+``extractN`` (unroll) and ``staged`` were measured dead ends; round 4
+adds ``group1``/``group2`` (per-group top-k cache, lazy bound-carrying
+refill — per-trip traffic [QB, G] instead of [QB, BN]), which this tool
+A/Bs against ``extract`` for the two serving dtypes.
 
 Usage: PYTHONPATH=. python tools/profile_merge.py
 Env: ROWS (default 2_000_000), CHAIN (default 6), GROUPS (default 4),
-Q (default 512), UNROLLS (default "1,2,4,8").
+Q (default 512), MERGES (default "extract,group1,group2"; numeric N
+means extractN for back-compat with the round-3 UNROLLS sweep).
 """
 
 from __future__ import annotations
@@ -43,9 +45,15 @@ def main() -> None:
     chain = int(os.environ.get("CHAIN", 6))
     groups = int(os.environ.get("GROUPS", 4))
     q_batch = int(os.environ.get("Q", 512))
-    unrolls = [int(u) for u in os.environ.get("UNROLLS", "1,2,4,8").split(",")]
+    merges = [
+        m if not m.strip().isdigit()
+        else ("extract" if int(m) == 1 else f"extract{int(m)}")
+        for m in os.environ.get(
+            "MERGES", os.environ.get("UNROLLS", "extract,group1,group2")
+        ).split(",")
+    ]
     dim, k = 768, 10
-    log(f"backend={jax.default_backend()} rows={n_rows} Q={q_batch} unrolls={unrolls}")
+    log(f"backend={jax.default_backend()} rows={n_rows} Q={q_batch} merges={merges}")
 
     @partial(jax.jit, static_argnums=(1, 2))
     def make_slice(key, rows, seed_row):
@@ -78,19 +86,18 @@ def main() -> None:
     qbf = queries.astype(jnp.bfloat16)
     log("indexes ready")
 
-    def mk(u: int):
-        merge = "extract" if u == 1 else f"extract{u}"
+    def mk(merge: str):
         return {
-            f"int8_s8s8_x{u}": lambda m=merge: fused_topk_int8(
+            f"int8_s8s8_{merge}": lambda m=merge: fused_topk_int8(
                 i8, scales, queries, k, n_valid=n_rows, block_rows=4096,
                 _variant="s8s8", _merge=m)[0],
-            f"bf16_x{u}": lambda m=merge: fused_topk(
+            f"bf16_{merge}": lambda m=merge: fused_topk(
                 xb, qbf, k, n_valid=n_rows, block_rows=4096, _merge=m)[0],
         }
 
     variants: dict = {}
-    for u in unrolls:
-        variants.update(mk(u))
+    for m in merges:
+        variants.update(mk(m))
 
     ready: dict[str, bool] = {}
     oracle: dict[str, np.ndarray] = {}
@@ -114,9 +121,9 @@ def main() -> None:
     live = [nm for nm, ok in ready.items() if ok]
     log(f"live: {live}")
 
-    # exactness: every unroll must match its dtype's x1 values bitwise
+    # exactness: every impl must match its dtype's extract values bitwise
     for nm in live:
-        base = nm.rsplit("_x", 1)[0] + "_x1"
+        base = nm.rsplit("_", 1)[0] + "_extract"
         if base in oracle and nm != base:
             same = np.array_equal(oracle[nm], oracle[base])
             log(f"{nm}: values {'EXACT' if same else 'MISMATCH'} vs {base}")
