@@ -987,6 +987,9 @@ def cmd_serve(args) -> int:
         if groups:
             print(f"hydration cache prewarmed ({groups} row groups)",
                   file=sys.stderr)
+        if engine.reranker is not None and hasattr(engine.reranker, "warm"):
+            warmed = engine.reranker.warm()
+            print(f"rerank buckets warmed: {warmed}", file=sys.stderr)
 
     httpd = serve(
         engine, args.host, args.port,

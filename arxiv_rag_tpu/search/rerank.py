@@ -140,28 +140,46 @@ class CrossEncoderReranker:
         return ids, types
 
     def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
-        """Relevance logit per (query, passage) pair."""
+        """Relevance logit per (query, passage) pair.
+
+        Tokenization STREAMS per device batch (round 4): tokenizing the
+        whole window up front left the device idle for the full
+        host-tokenize phase — at the measured rates (native WordPiece
+        ~13 MB/s on the 1-core host vs ~110 us/pair of cross-encoder
+        FLOPs) that serialization is ~40% of the window. Here batch i+1
+        tokenizes while batch i runs (the jit dispatch is async), and
+        each batch pads to ITS OWN power-of-two seq bucket — short
+        batches skip the quadratic-attention cost of the window max.
+        A window-level memo keeps the dedup (each query repeats ~50x in
+        the pair list; passages can repeat across queries)."""
         if not pairs:
             return np.zeros((0,), np.float32)
         tk = self.tokenizer
-        q_ids = self._raw_ids([q for q, _ in pairs])
-        p_ids = self._raw_ids([p for _, p in pairs])
-        encoded = [
-            self._encode_pair(qi, pi) for qi, pi in zip(q_ids, p_ids)
-        ]
-        max_len = max(len(ids) for ids, _ in encoded)
-        # pad to a power-of-two-ish bucket for compile reuse
-        bucket = 64
-        while bucket < max_len:
-            bucket *= 2
-        bucket = min(bucket, self.max_pair_len)
-
         bs = self.batch_size
+        memo: dict[str, list[int]] = {}
+
+        def raw(texts: Sequence[str]) -> list[list[int]]:
+            new = [t for t in dict.fromkeys(texts) if t not in memo]
+            if new:
+                for t, ids in zip(new, self._raw_ids(new)):
+                    memo[t] = ids
+            return [memo[t] for t in texts]
+
         device_logits = []
         counts = []
-        for start in range(0, len(encoded), bs):
-            batch = encoded[start : start + bs]
-            n = len(batch)
+        for start in range(0, len(pairs), bs):
+            chunk = pairs[start : start + bs]
+            q_ids = raw([q for q, _ in chunk])
+            p_ids = raw([p for _, p in chunk])
+            batch = [
+                self._encode_pair(qi, pi) for qi, pi in zip(q_ids, p_ids)
+            ]
+            max_len = max(len(ids) for ids, _ in batch)
+            bucket = 64
+            while bucket < max_len:
+                bucket *= 2
+            bucket = min(bucket, self.max_pair_len)
+            n = len(chunk)
             ids = np.full((bs, bucket), tk.pad_id, np.int32)
             mask = np.zeros((bs, bucket), np.int32)
             types = np.zeros((bs, bucket), np.int32)
@@ -196,6 +214,36 @@ class CrossEncoderReranker:
             pos += n
             srcpos += bs
         return out
+
+    def warm(self) -> list[int]:
+        """Compile every (batch_size, bucket) forward this reranker can
+        emit and wait for the results. Per-batch bucketing means a live
+        window can produce the 64/128 shapes even when typical passages
+        pad to max_pair_len — without this, the first short batch in
+        production stalls its window on a cold compile (serving shape
+        discipline, CLAUDE.md). Returns the warmed bucket list."""
+        tk = self.tokenizer
+        buckets, b = [], 64
+        while b < self.max_pair_len:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.max_pair_len)
+        buckets = sorted({min(b, self.max_pair_len) for b in buckets})
+        outs = []
+        for b in buckets:
+            ids = np.full((self.batch_size, b), tk.pad_id, np.int32)
+            ids[:, 0] = tk.cls_id
+            ids[:, 1] = tk.sep_id
+            mask = np.zeros_like(ids)
+            mask[:, :2] = 1
+            types = np.zeros_like(ids)
+            outs.append(self._classify(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                token_type_ids=jnp.asarray(types),
+            ))
+        for o in outs:
+            np.asarray(o)
+        return buckets
 
     def rerank(
         self,

@@ -384,3 +384,51 @@ def test_rerank_window_admission_control():
     results2 = engine2.search(["one query"], k=5)
     assert rr.stats.pairs == 50
     assert not any(h.extras.get("rerank_degraded") for r in results2 for h in r)
+
+
+def test_streamed_tokenization_batch_invariance():
+    """Round 4: score_pairs tokenizes per device batch (overlapping the
+    1-core host tokenizer with device compute) and buckets each batch
+    independently. Scores must not depend on where batch boundaries
+    fall or on which bucket a batch pads to."""
+    tok = WordPieceTokenizer.toy()
+    cfg = BertConfig(
+        vocab_size=len(tok.vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=512, pad_token_id=tok.pad_id,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    # mixed lengths: short pairs land in a 64 bucket, long in 128+
+    pairs = []
+    for i in range(11):
+        p = ("words " * (3 + 20 * (i % 3))).strip()
+        pairs.append((f"query {i % 4}", f"passage {i} {p}"))
+    ref = None
+    for bs in (3, 8, 64):
+        rr = CrossEncoderReranker(params, cfg, tok, batch_size=bs,
+                                  compute_dtype=jnp.float32)
+        s = rr.score_pairs(pairs)
+        assert s.shape == (len(pairs),)
+        if ref is None:
+            ref = s
+        else:
+            np.testing.assert_allclose(s, ref, atol=1e-5)
+    # window memo: repeated texts tokenize once per window — a window of
+    # one query x N passages must score identically to N separate pairs
+    rr = CrossEncoderReranker(params, cfg, tok, batch_size=4,
+                              compute_dtype=jnp.float32)
+    window = rr.rerank_window(["the query"], [[p for _, p in pairs]], k=5)
+    solo = rr.score_pairs([("the query", p) for _, p in pairs])
+    order = np.argsort(-solo)[:5]
+    np.testing.assert_allclose(window[0][0], solo[order], atol=1e-5)
+
+
+def test_reranker_warm_covers_buckets():
+    rr = _fake_reranker()  # max_pair_len defaults to 256
+    buckets = rr.warm()
+    assert buckets == [64, 128, 256]
+    # non-power-of-two cap becomes its own terminal bucket
+    tok = rr.tokenizer
+    rr2 = CrossEncoderReranker(rr.params, rr.cfg, tok, batch_size=4,
+                               compute_dtype=jnp.float32, max_pair_len=100)
+    assert rr2.warm() == [64, 100]
