@@ -373,6 +373,11 @@ def _topk_kernel(
                 # Tie parity with lax.top_k: groups cover ascending
                 # column ranges and l1 is the min lane achieving the
                 # group max, so min-group-then-min-lane == min-column.
+                if block_rows % LANES:
+                    raise ValueError(
+                        f"group merges need block_rows % {LANES} == 0 "
+                        f"(got {block_rows}); use merge_impl='extract'"
+                    )
                 n_groups = block_rows // LANES
                 qn_ = scores.shape[0]
                 gcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)

@@ -909,6 +909,36 @@ def main() -> None:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    # tunnel preflight (round 4): during an outage even jax.devices()
+    # hangs inside the plugin's RPC — the 1800 s watchdog would save the
+    # JSON line but burn the driver's whole budget first. Probe device
+    # discovery in a SUBPROCESS (this process must not touch the plugin
+    # until the verdict); on failure fall back to a LABELED CPU run at
+    # the CPU row default instead of an empty result.
+    # ARAG_BENCH_PROBE_TIMEOUT=0 disables.
+    force_cpu = os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+    probe_timeout = float(os.environ.get("ARAG_BENCH_PROBE_TIMEOUT", 150.0))
+    if not force_cpu and probe_timeout > 0:
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('up')"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            tunnel_up = probe.returncode == 0 and b"up" in probe.stdout
+        except Exception:  # noqa: BLE001 — timeout or spawn failure
+            tunnel_up = False
+        if not tunnel_up:
+            errors.append(
+                f"tunnel preflight failed ({probe_timeout:.0f}s); "
+                "falling back to CPU backend at reduced rows"
+            )
+            log(errors[-1])
+            force_cpu = True
+            result["tunnel_dead"] = True
+
     try:
         import jax
 
@@ -916,7 +946,7 @@ def main() -> None:
         # the axon PJRT plugin from initializing (and HANGING during a
         # tunnel outage) — the config update post-import does, exactly
         # like tests/conftest.py
-        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        if force_cpu:
             jax.config.update("jax_platforms", "cpu")
 
         on_tpu_default = 2_000_000

@@ -394,3 +394,31 @@ def test_unaligned_block_rows_rejected_for_tpu():
     # interpret mode (CPU tests) keeps accepting tiny blocks
     _build_ivf_call(64, 32, 8, 5, 8, np.int8, False, True,
                     interpret=True, q_block=8, max_blocks=4)
+
+
+def test_ivf_kernel_group_merges_match_extract(flat_data):
+    """The round-4 group-cached merges flow through the IVF kernel's
+    probe-ordered visits too (same kernel body): ids and values must
+    match the extract merge exactly, including out-of-order block
+    visits (later-visited block with smaller global ids)."""
+    index, queries = flat_data
+    n = index.shape[0]
+    vals_pad, _, _, dead = pad_index_for_ivf(index, BR)
+    # out-of-order, partial, ragged probe sets + dead padding
+    probe_sets = [np.array([5, 0, 2], np.int32), np.array([8, 1, 3, 4], np.int32)]
+    width = max(len(p) for p in probe_sets)
+    table = np.full((2, width), dead, np.int32)
+    for t, p in enumerate(probe_sets):
+        table[t, : len(p)] = p
+    ve, ie = ivf_topk(
+        jnp.asarray(vals_pad), table, jnp.asarray(queries), K,
+        n_valid=n, block_rows=BR, q_block=QB, interpret=True,
+    )
+    for merge in ("group1", "group2"):
+        vg, ig = ivf_topk(
+            jnp.asarray(vals_pad), table, jnp.asarray(queries), K,
+            n_valid=n, block_rows=BR, q_block=QB, interpret=True,
+            _merge=merge,
+        )
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+        np.testing.assert_allclose(np.asarray(vg), np.asarray(ve), atol=0)
