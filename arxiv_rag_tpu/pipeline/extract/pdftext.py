@@ -453,6 +453,83 @@ class ContentInterpreter:
 # ---------------------------------------------------------------------------
 # layout: spans → lines → columns → page text
 # ---------------------------------------------------------------------------
+# RTL / bidirectional text
+# ---------------------------------------------------------------------------
+
+# Strong right-to-left script blocks (reference set: pdf_extractor.py:
+# 5006-5015, extended with presentation forms that real PDFs embed).
+_RTL_RANGES = (
+    (0x0590, 0x05FF),  # Hebrew
+    (0x0600, 0x06FF),  # Arabic
+    (0x0700, 0x074F),  # Syriac
+    (0x0750, 0x077F),  # Arabic Supplement
+    (0x0780, 0x07BF),  # Thaana
+    (0x07C0, 0x07FF),  # NKo
+    (0x0800, 0x083F),  # Samaritan
+    (0x0840, 0x085F),  # Mandaic
+    (0x08A0, 0x08FF),  # Arabic Extended-A
+    (0xFB1D, 0xFB4F),  # Hebrew presentation forms
+    (0xFB50, 0xFDFF),  # Arabic presentation forms A
+    (0xFE70, 0xFEFF),  # Arabic presentation forms B
+)
+
+# Paired punctuation is mirrored when a visual-order run is reversed.
+_MIRROR = str.maketrans("()[]{}<>", ")(][}{><")
+
+
+def _is_rtl(ch: str) -> bool:
+    cp = ord(ch)
+    for lo, hi in _RTL_RANGES:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+def reorder_rtl(line: str, mark: bool = False) -> str:
+    """Re-emit visually-ordered RTL runs in logical order.
+
+    The assembler sorts spans left→right — *visual* order. RTL scripts
+    read right→left, so a maximal run of RTL characters (neutral
+    characters between two RTL characters stay inside the run; strong
+    Latin/digit characters break it) is reversed to recover logical
+    order, with paired brackets mirrored. With ``mark=True`` each run is
+    additionally wrapped in RLE…PDF directional controls, matching the
+    reference's per-line marking (``pdf_extractor.py:4986-5220``; the
+    reference only marks — it trusts its extractor's bidi pass, which a
+    from-scratch x-sorted assembler must perform itself).
+    """
+    if not line or not any(_is_rtl(c) for c in line):
+        return line
+    n = len(line)
+    out: list[str] = []
+    i = 0
+    while i < n:
+        if not _is_rtl(line[i]):
+            out.append(line[i])
+            i += 1
+            continue
+        # maximal run: extend through neutrals only when another RTL
+        # char follows before any strong LTR (ASCII alnum) char
+        j = i + 1
+        last_rtl = i
+        while j < n:
+            c = line[j]
+            if _is_rtl(c):
+                last_rtl = j
+                j += 1
+            elif c.isascii() and c.isalnum():
+                break
+            else:
+                j += 1
+        run = line[i : last_rtl + 1][::-1].translate(_MIRROR)
+        if mark:
+            run = "\u202b" + run + "\u202c"  # RLE ... PDF
+        out.append(run)
+        i = last_rtl + 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
 
 
 def _assemble_lines(spans: list[Span]) -> list[tuple[float, float, str]]:
@@ -475,7 +552,7 @@ def _assemble_lines(spans: list[Span]) -> list[tuple[float, float, str]]:
             parts.append(s.text)
             prev_end = max(s.end_x, s.x)
             prev_size = s.size
-        text = "".join(parts).strip()
+        text = reorder_rtl("".join(parts).strip())
         if text:
             assembled.append((group[0].y, group[0].x, text))
     assembled.sort(key=lambda l: (-l[0], l[1]))

@@ -264,3 +264,57 @@ def test_per_page_merge_skips_when_one_strategy_dominates():
     res = PDFExtractor(accept_score=0.99, use_cache=False).extract_bytes(buf)
     assert res.success
     assert not res.method_used.startswith("mixed:")
+
+
+# ---------------------------------------------------------------------------
+# RTL / bidi (reference: pdf_extractor.py:4986-5220)
+# ---------------------------------------------------------------------------
+
+
+def test_reorder_rtl_reverses_visual_hebrew():
+    from arxiv_rag_tpu.pipeline.extract.pdftext import reorder_rtl
+
+    # visual (x-sorted, left->right on the page) Hebrew; logical is reversed
+    assert reorder_rtl("םולש") == "שלום"
+
+
+def test_reorder_rtl_mixed_line_only_touches_rtl_run():
+    from arxiv_rag_tpu.pipeline.extract.pdftext import reorder_rtl
+
+    line = "see גבא for details"
+    assert reorder_rtl(line) == "see אבג for details"
+
+
+def test_reorder_rtl_keeps_neutrals_inside_run_and_mirrors_brackets():
+    from arxiv_rag_tpu.pipeline.extract.pdftext import reorder_rtl
+
+    # space between two RTL chars belongs to the run; bracket mirrors
+    line = "x (ב א) y"
+    out = reorder_rtl(line)
+    assert out == "x (א ב) y"
+
+
+def test_reorder_rtl_ltr_identity_and_marking():
+    from arxiv_rag_tpu.pipeline.extract.pdftext import reorder_rtl
+
+    plain = "A plain english line, nothing to do."
+    assert reorder_rtl(plain) is plain
+    marked = reorder_rtl("با", mark=True)
+    assert marked == "‫اب‬"
+
+
+def test_rtl_spans_emit_logical_order():
+    from arxiv_rag_tpu.pipeline.extract.pdftext import Span, spans_to_text
+
+    # Arabic word placed glyph-by-glyph in visual order on one baseline:
+    # logical text is "كتاب" (kitab); visually the
+    # first logical glyph sits rightmost.
+    logical = "كتاب"
+    spans = [
+        Span(text=ch, x=200.0 - 10 * i, y=700.0, end_x=210.0 - 10 * i, size=10.0)
+        for i, ch in enumerate(logical)
+    ]
+    spans.append(Span(text="intro:", x=72.0, y=700.0, end_x=110.0, size=10.0))
+    out = spans_to_text(spans)
+    assert logical in out
+    assert "intro:" in out
