@@ -34,6 +34,19 @@ from pathlib import Path
 from arxiv_rag_tpu.pipeline.extract.quality import EXPECTED_CHARS_PER_PAGE
 from arxiv_rag_tpu.store.corpus import CorpusReader
 
+# Per-embedding-model optimal token bands (reference
+# ``analyze_for_embeddings.py:91-96``): (floor, optimal_ceiling, hard_limit).
+# The hard limit is the model's real context window; chunks between the
+# optimal ceiling and the hard limit embed but truncate semantic tails.
+MODEL_BANDS: dict[str, tuple[int, int, int]] = {
+    "mpnet": (50, 384, 512),  # all-mpnet-base-v2: 384 recommended, 512 max
+    "sentence_transformers": (50, 512, 512),
+    "minilm": (50, 256, 512),
+    "openai": (50, 8192, 8192),
+    "cohere": (50, 2048, 2048),
+}
+DEFAULT_MODEL = "mpnet"
+
 _URL_ONLY = re.compile(r"^\s*(https?://\S+\s*)+$")
 _EQUATION = re.compile(r"[=∑∫√±≤≥≈]|\\[a-z]+")
 _CITATION = re.compile(r"\[\d+(?:[,\-–]\s*\d+)*\]")
@@ -53,6 +66,7 @@ class AuditReport:
     duplicate_groups: int = 0
     content_flags: dict = field(default_factory=dict)
     token_bands: dict = field(default_factory=dict)
+    token_bands_by_model: dict = field(default_factory=dict)
     gates: dict = field(default_factory=dict)
     paper_scores: dict = field(default_factory=dict)  # tier -> count
     recommendations: list = field(default_factory=list)
@@ -83,11 +97,26 @@ def _token_estimate(text: str) -> int:
 
 def audit_corpus(
     corpus_dir: str | Path,
-    max_tokens: int = 8192,
-    optimal_band: tuple[int, int] = (50, 512),
+    max_tokens: int | None = None,
+    optimal_band: tuple[int, int] | None = None,
     keep_quality: float = 0.7,
     embed_quality: float = 0.9,
+    model: str = DEFAULT_MODEL,
 ) -> AuditReport:
+    """Audit a chunk corpus for embedding readiness.
+
+    ``model`` selects the token-band profile from :data:`MODEL_BANDS`
+    (reference ``analyze_for_embeddings.py:91-96`` kept one table for
+    several embedding providers); explicit ``max_tokens`` /
+    ``optimal_band`` override the profile.
+    """
+    if model not in MODEL_BANDS:
+        raise ValueError(f"unknown embed model {model!r}; known: {sorted(MODEL_BANDS)}")
+    floor, ceil, hard = MODEL_BANDS[model]
+    if optimal_band is None:
+        optimal_band = (floor, ceil)
+    if max_tokens is None:
+        max_tokens = hard
     reader = CorpusReader(corpus_dir)
     rep = AuditReport()
 
@@ -148,6 +177,19 @@ def audit_corpus(
     rep.quality = _dist(qualities)
     rep.content_flags = dict(flags)
     rep.token_bands = dict(bands)
+    # cross-model readiness: same counts under every known profile
+    for name, (m_floor, m_ceil, m_hard) in MODEL_BANDS.items():
+        mb = Counter()
+        for t in token_counts:
+            if t > m_hard:
+                mb["over_limit"] += 1
+            elif t < m_floor:
+                mb["under_optimal"] += 1
+            elif t <= m_ceil:
+                mb["optimal"] += 1
+            else:
+                mb["above_optimal"] += 1
+        rep.token_bands_by_model[name] = dict(mb)
     dup_groups = {h: c for h, c in hashes.items() if c > 1}
     rep.duplicate_groups = len(dup_groups)
     rep.duplicates = sum(c - 1 for c in dup_groups.values())
@@ -260,6 +302,7 @@ def format_report(rep: AuditReport) -> str:
         f"tokens: {rep.tokens}",
         f"quality:{rep.quality}",
         f"token bands: {rep.token_bands}",
+        f"token bands by model: {rep.token_bands_by_model}",
         f"quality gates: {rep.gates}",
         f"duplicates: {rep.duplicates} in {rep.duplicate_groups} groups",
         f"content flags: {rep.content_flags}",

@@ -292,6 +292,9 @@ def _add_audit(sub) -> None:
     p.add_argument("--corpus", default=None)
     p.add_argument("--extractions", default=None,
                    help="audit an `arag extract` output dir instead")
+    p.add_argument("--embed-model", default="mpnet",
+                   help="token-band profile (mpnet/sentence_transformers/"
+                        "minilm/openai/cohere)")
     p.add_argument("--json-out", default=None)
 
 
@@ -312,7 +315,7 @@ def cmd_audit(args) -> int:
     if not args.corpus:
         print("need --corpus or --extractions", file=sys.stderr)
         return 2
-    rep = audit_corpus(args.corpus)
+    rep = audit_corpus(args.corpus, model=args.embed_model)
     print(format_report(rep))
     if args.json_out:
         save_report(rep, args.json_out)

@@ -109,3 +109,25 @@ def test_flesch_sanity():
     dense = ("Multidimensional heterogeneous representations necessitate "
              "disambiguation methodologies incorporating regularization. ") * 5
     assert flesch_reading_ease(simple) > flesch_reading_ease(dense)
+
+
+def test_audit_per_model_token_bands(tmp_path):
+    """Per-embedding-model band profiles (reference
+    analyze_for_embeddings.py:91-96): the same corpus lands in
+    different bands under different model profiles, and the report
+    carries a cross-model summary."""
+    import pytest
+
+    d = build_store(tmp_path)
+    rep = audit_corpus(d)  # default mpnet profile
+    assert set(rep.token_bands_by_model) >= {"mpnet", "openai", "cohere", "minilm"}
+    # GOOD*5 is ~1125 est. tokens: over mpnet's 512 hard limit but fine
+    # under openai's 8192 window
+    assert rep.token_bands_by_model["mpnet"]["over_limit"] >= 1
+    assert rep.token_bands_by_model["openai"].get("over_limit", 0) == 0
+    # the default headline bands must equal the selected model's profile
+    assert rep.token_bands == rep.token_bands_by_model["mpnet"]
+    rep_oa = audit_corpus(d, model="openai")
+    assert rep_oa.token_bands == rep_oa.token_bands_by_model["openai"]
+    with pytest.raises(ValueError):
+        audit_corpus(d, model="nonexistent-model")

@@ -318,3 +318,68 @@ def test_rtl_spans_emit_logical_order():
     out = spans_to_text(spans)
     assert logical in out
     assert "intro:" in out
+
+
+def test_quality_broken_word_gate():
+    """Enhanced-scorer coherence signal (reference pdf_extractor.py:7966):
+    kern-gap word breaks must drag the score down monotonically."""
+    from arxiv_rag_tpu.pipeline.extract.quality import score_text
+    import random
+
+    rng = random.Random(0)
+    prose = (
+        "We propose a novel method for dense retrieval over large corpora. "
+        "The model encodes each chunk with a transformer and performs "
+        "maximum inner product search on the accelerator hardware. "
+    ) * 40
+
+    def kern_break(t, frac):
+        out = []
+        for w in t.split():
+            if len(w) > 4 and rng.random() < frac:
+                i = rng.choice((1, 2))
+                out.append(w[:i])
+                out.append(w[i:])
+            else:
+                out.append(w)
+        return " ".join(out)
+
+    clean = score_text(prose, 4)
+    light = score_text(kern_break(prose, 0.1), 4)
+    heavy = score_text(kern_break(prose, 0.4), 4)
+    assert clean.broken_ratio < 0.01
+    assert clean.score > light.score > heavy.score
+    assert heavy.score < clean.score - 0.3
+    assert "warning:broken_words" in heavy.issues
+    # legit short content words (fox/cat/dog) must NOT register
+    animals = (
+        "the quick brown fox jumps over the lazy dog and the small black "
+        "cat sat on the warm stone wall near the old red barn today "
+    ) * 20
+    assert score_text(animals, 1).broken_ratio == 0.0
+
+
+def test_quality_structure_hints_break_ties():
+    """Enhanced-scorer structure dimension (reference :8023-8060): the
+    same prose with academic section structure scores at least as high,
+    and the report exposes the hit count."""
+    from arxiv_rag_tpu.pipeline.extract.quality import score_text
+
+    prose = (
+        "We propose a novel method for dense retrieval over large corpora. "
+        "The model encodes each chunk with a transformer and performs "
+        "maximum inner product search on the accelerator hardware. "
+    ) * 30
+    structured = (
+        "Abstract\nWe study retrieval at scale.\n1. Introduction\n"
+        + prose
+        + "\n2. Method\n"
+        + prose
+        + "\n3. Results and Discussion\n"
+        + prose
+        + "\nReferences\n[1] Smith et al. 2021."
+    )
+    r_plain = score_text(prose, 8)
+    r_struct = score_text(structured, 8)
+    assert r_struct.structure_hits > r_plain.structure_hits
+    assert r_struct.score >= r_plain.score
