@@ -47,10 +47,14 @@ PHASES = [
     },
     {
         "name": "serve_suite",
+        # VERDICT-mandated modes first (dense/hybrid/rerank re-measure,
+        # reload-mid-run); the bonus ivf service mode runs last so its
+        # per-Q-bucket fresh compiles + 2M k-means build can't starve
+        # them. Suite writes SERVE_r05.json after every mode.
         "cmd": [sys.executable, "tools/run_serve_suite.py", "--round", "5",
-                "--modes", "dense,hybrid,rerank256,dense_reload"],
+                "--modes", "dense,hybrid,rerank256,dense_reload,ivf"],
         "env": {},
-        "timeout": 9000,
+        "timeout": 13000,
     },
     {
         "name": "recall_1m",

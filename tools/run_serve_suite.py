@@ -43,6 +43,10 @@ def main() -> None:
             "--dtype", "int8"]
     modes = {
         "dense": [],
+        # service-level IVF route (device-planned, 4096 clusters,
+        # nprobe 8): throughput through the full HTTP stack; recall
+        # evidence for this config is RECALL_r05
+        "ivf": ["--nprobe", "8"],
         "hybrid": ["--hybrid-alpha", "0.7"],
         "rerank256": ["--hybrid-alpha", "0.7", "--rerank",
                       "--rerank-pair-len", "256"],

@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--batch-window-ms", type=float, default=8.0)
     ap.add_argument("--dtype", choices=("bfloat16", "int8"), default="bfloat16",
                     help="index storage dtype (int8 = half the HBM bytes)")
+    ap.add_argument("--nprobe", type=int, default=None,
+                    help="serve through the device-planned IVF route "
+                         "(builds an IVF delta over the index; this is a "
+                         "service-level THROUGHPUT probe — recall on real "
+                         "embeddings is RECALL_r05's evidence)")
+    ap.add_argument("--ivf-clusters", type=int, default=4096)
     ap.add_argument("--hybrid-alpha", type=float, default=None,
                     help="enable hybrid retrieval (BM25 over a synthetic "
                          "corpus, built natively, merged at this alpha)")
@@ -98,6 +104,70 @@ def main() -> None:
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
 
+    ivf = None
+    if args.nprobe:
+        # IVF serving mode: HOST-generated clustered corpus with exact
+        # by-construction assignments (bench.py's IVF-phase recipe) —
+        # a k-means over the on-device corpus would round-trip ~6 GB
+        # f32 through the tunnel and wait on fresh XLA compiles from
+        # the shared pool; this path depends on NO compile except the
+        # IVF kernel itself (warm after the runbook's warm_bench).
+        # Queries come from the random-init encoder, so this mode is a
+        # serving-path THROUGHPUT probe; recall evidence for the same
+        # config is tools/recall_real.py (RECALL_r05).
+        from arxiv_rag_tpu.index.ivf import IVFIndex
+
+        n_cl = args.ivf_clusters
+        if n_cl > n_rows:
+            n_cl = max(2, n_rows // 256)
+            log(f"ivf-clusters clamped to {n_cl} for {n_rows} rows")
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((n_cl, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        host_vals = np.empty((n_rows, dim), np.float32)
+        cid = np.empty((n_rows,), np.int32)
+        step = max(1, n_rows // 8)
+        for s in range(0, n_rows, step):
+            rows = min(step, n_rows - s)
+            c = ((np.arange(s, s + rows, dtype=np.int64) * n_cl)
+                 // n_rows).astype(np.int32)
+            x = centers[c]
+            x += 0.025 * rng.standard_normal((rows, dim)).astype(np.float32)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            host_vals[s:s + rows] = x
+            cid[s:s + rows] = c
+        if args.dtype == "int8":
+            sc = np.maximum(np.abs(host_vals).max(axis=1), 1e-12) / 127.0
+            q8 = np.clip(np.round(host_vals / sc[:, None]),
+                         -127, 127).astype(np.int8)
+            idx = DenseIndex(
+                values=q8, scales=sc.astype(np.float32), dtype="int8",
+                normalized=True, categories=[], row_masks=None,
+                chunk_ids=None,
+            )
+        else:
+            import ml_dtypes
+
+            idx = DenseIndex(
+                values=host_vals.astype(ml_dtypes.bfloat16), scales=None,
+                dtype="bfloat16", normalized=True, categories=[],
+                row_masks=None, chunk_ids=None,
+            )
+        del host_vals
+        # exact centroids/assignments skip training AND assignment; the
+        # proportional map is already cluster-sorted, so build's argsort
+        # permute is the identity
+        ivf = IVFIndex.build(idx, n_cl, block_rows=1024,
+                             centroids=centers, assignments=cid)
+        idx.to_device()
+        ivf = ivf.to_device()
+        log(f"host-clustered corpus + IVF delta resident: {n_cl} clusters "
+            f"in {time.perf_counter() - t0:.0f}s (nprobe={args.nprobe})")
+        _build_plain_index = False
+    else:
+        _build_plain_index = True
+
     # index generated and normalized on device (no 6 GB host upload)
     from functools import partial
 
@@ -106,8 +176,11 @@ def main() -> None:
         x = jax.random.normal(key, (rows, dim), jnp.float32)
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
-    values_f32 = make_normal(jax.random.PRNGKey(3), n_rows)
-    if args.dtype == "int8":
+    if _build_plain_index:
+        values_f32 = make_normal(jax.random.PRNGKey(3), n_rows)
+    if not _build_plain_index:
+        pass
+    elif args.dtype == "int8":
         from arxiv_rag_tpu.ops.quant import quantize_int8
 
         # quantize in row slices: a whole-matrix pass materializes fp32
@@ -134,8 +207,9 @@ def main() -> None:
             values=values, scales=None, dtype="bfloat16", normalized=True,
             categories=[], row_masks=None, chunk_ids=None,
         )
-    idx.to_device()
-    log("index resident on device")
+    if _build_plain_index:
+        idx.to_device()
+        log("index resident on device")
 
     # ---- optional flagship retrieval config: hybrid + rerank ----------
     # (the reference's configured-but-never-built mode,
@@ -211,6 +285,10 @@ def main() -> None:
             )
 
     rcfg = load_config(environ={}).retrieval
+    if args.nprobe:
+        import dataclasses as _dc_np
+
+        rcfg = _dc_np.replace(rcfg, nprobe=args.nprobe)
     if args.rerank:
         import dataclasses
 
@@ -220,7 +298,7 @@ def main() -> None:
             rerank_max_window_pairs=args.rerank_window_pairs,
         )
     engine = SearchEngine(idx, embedder=embedder, cfg=rcfg, corpus=corpus,
-                          bm25=bm25, reranker=reranker)
+                          bm25=bm25, reranker=reranker, ivf=ivf)
     # warm every compiled shape the windows can hit before timing: the
     # engine buckets Q to 8/32/64/128/256/384/512, and a remote kernel
     # compile mid-benchmark stalls whole windows for minutes (measured:
@@ -384,6 +462,8 @@ def main() -> None:
     lat.sort()
     done = len(lat)
     mode = args.dtype
+    if args.nprobe:
+        mode += f"_ivf{args.nprobe}"
     if args.hybrid_alpha is not None:
         mode += f"_hybrid{args.hybrid_alpha}"
     if args.rerank:
@@ -401,6 +481,9 @@ def main() -> None:
         "backend": jax.default_backend(),
         "stages": stage_ms,
     }
+    if args.nprobe:
+        result["nprobe"] = args.nprobe
+        result["ivf_clusters"] = args.ivf_clusters
     if reload_dir is not None:
         result["reload"] = reload_result
     print(json.dumps(result))
