@@ -9,7 +9,7 @@ compiled forward per bucket.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Sequence
 
@@ -23,8 +23,36 @@ from arxiv_rag_tpu.tokenize.wordpiece import WordPieceTokenizer
 
 @dataclass
 class RerankStats:
+    """Work accounting for the cross-encoder stage.
+
+    ``flops_padded`` is what the device actually executed (every row of
+    every padded (batch, bucket) forward); ``flops_useful`` is the
+    zero-padding ideal (each pair at its own token length, attention at
+    that length). Their ratio is the bucketing efficiency, and
+    flops_padded / stage-seconds is the stage's achieved FLOP/s — the
+    number that proves (or disproves) that the flagship hybrid+rerank
+    serving mode is cross-encoder-compute-bound rather than
+    stack-overhead-bound."""
+
     pairs: int = 0
     batches: int = 0
+    flops_padded: float = 0.0
+    flops_useful: float = 0.0
+    #: bucket seq-len -> number of device batches padded to it
+    buckets: dict = field(default_factory=dict)
+
+
+def _bert_matmul_flops(cfg: BertConfig, n_tokens: float, seq_len: float) -> float:
+    """Forward matmul FLOPs for ``n_tokens`` tokens at attention length
+    ``seq_len``: 2*MACs for the dense projections (QKV+out: 4*H*H, FFN:
+    2*H*F per token per layer) plus the two attention batched matmuls
+    (scores QK^T and context AV: 2 * 2 * H * seq per token per layer).
+    Embedding lookups / layernorms / the classifier head are noise at
+    these shapes."""
+    h, f, layers = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    per_token_dense = 2.0 * layers * (4.0 * h * h + 2.0 * h * f)
+    per_token_attn = 4.0 * layers * h * seq_len
+    return n_tokens * (per_token_dense + per_token_attn)
 
 
 class CrossEncoderReranker:
@@ -151,7 +179,16 @@ class CrossEncoderReranker:
         each batch pads to ITS OWN power-of-two seq bucket — short
         batches skip the quadratic-attention cost of the window max.
         A window-level memo keeps the dedup (each query repeats ~50x in
-        the pair list; passages can repeat across queries)."""
+        the pair list; passages can repeat across queries).
+
+        Pairs are processed in LENGTH-SORTED order (round 5): in arrival
+        order one long passage drags its whole batch up to the next
+        power-of-two bucket, and quadratic attention makes bucket 256
+        ~2.7x the FLOPs/pair of bucket 128. Sorting by an estimated
+        token length (chars/4 — exact lengths would need tokenization
+        up front, defeating the streaming overlap) groups short pairs
+        into short buckets; scores are written back through the
+        permutation, so the result is order-identical."""
         if not pairs:
             return np.zeros((0,), np.float32)
         tk = self.tokenizer
@@ -165,10 +202,25 @@ class CrossEncoderReranker:
                     memo[t] = ids
             return [memo[t] for t in texts]
 
+        mpl = self.max_pair_len
+        est = np.fromiter(
+            (
+                min(
+                    mpl,
+                    3 + min(len(q) // 4 + 1, mpl // 4) + len(p) // 4 + 1,
+                )
+                for q, p in pairs
+            ),
+            dtype=np.int64,
+            count=len(pairs),
+        )
+        order = np.argsort(est, kind="stable")
+
         device_logits = []
-        counts = []
+        counts: list[np.ndarray] = []
         for start in range(0, len(pairs), bs):
-            chunk = pairs[start : start + bs]
+            idx = order[start : start + bs]
+            chunk = [pairs[i] for i in idx]
             q_ids = raw([q for q, _ in chunk])
             p_ids = raw([p for _, p in chunk])
             batch = [
@@ -189,13 +241,20 @@ class CrossEncoderReranker:
                 ids[i, : len(tok_ids)] = tok_ids
                 mask[i, : len(tok_ids)] = 1
                 types[i, : len(tok_types)] = tok_types
+            self.stats.flops_padded += _bert_matmul_flops(
+                self.cfg, bs * bucket, bucket
+            )
+            for tok_ids, _ in batch:
+                ln = min(len(tok_ids), bucket)
+                self.stats.flops_useful += _bert_matmul_flops(self.cfg, ln, ln)
+            self.stats.buckets[bucket] = self.stats.buckets.get(bucket, 0) + 1
             # dispatch only — the device queue pipelines batches, and a
             # per-batch fetch costs a full tunnel round trip (a 512-query
             # window is ~100 batches: ~3 s of pure RTT, measured round 3)
             device_logits.append(self._classify(
                 self.params, jnp.asarray(ids), jnp.asarray(mask), token_type_ids=jnp.asarray(types)
             ))
-            counts.append(n)
+            counts.append(idx)
             self.stats.batches += 1
         self.stats.pairs += len(pairs)
         # ONE fetch for the whole stream. The concat executable depends
@@ -208,10 +267,9 @@ class CrossEncoderReranker:
         device_logits.extend([device_logits[-1]] * (p2 - len(device_logits)))
         flat = np.asarray(jnp.concatenate(device_logits, axis=0), np.float32)[:, 0]
         out = np.zeros((len(pairs),), np.float32)
-        pos = srcpos = 0
-        for n in counts:
-            out[pos : pos + n] = flat[srcpos : srcpos + n]
-            pos += n
+        srcpos = 0
+        for idx in counts:
+            out[idx] = flat[srcpos : srcpos + len(idx)]
             srcpos += bs
         return out
 

@@ -432,3 +432,42 @@ def test_reranker_warm_covers_buckets():
     rr2 = CrossEncoderReranker(rr.params, rr.cfg, tok, batch_size=4,
                                compute_dtype=jnp.float32, max_pair_len=100)
     assert rr2.warm() == [64, 100]
+
+
+def test_length_sorted_batching_and_flops_accounting():
+    """Round 5: pairs are processed length-sorted so short pairs share
+    small power-of-two buckets (one long passage must not drag a batch
+    of short pairs up to its bucket), scores come back in input order,
+    and RerankStats carries the padded/useful FLOPs split."""
+    tok = WordPieceTokenizer.toy()
+    cfg = BertConfig(
+        vocab_size=len(tok.vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=512, pad_token_id=tok.pad_id,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    short = ("tiny words " * 2).strip()
+    long = ("many more words here " * 40).strip()
+    # alternate: arrival-order batching at bs=4 would put a long pair in
+    # EVERY batch, padding all of them to the large bucket
+    pairs = [("q", long if i % 4 == 0 else short) for i in range(16)]
+
+    rr = CrossEncoderReranker(params, cfg, tok, batch_size=4,
+                              compute_dtype=jnp.float32)
+    scores = rr.score_pairs(pairs)
+    assert scores.shape == (16,)
+    # order-exactness: every short pair scores identically to a solo run
+    rr2 = CrossEncoderReranker(params, cfg, tok, batch_size=4,
+                               compute_dtype=jnp.float32)
+    solo_short = rr2.score_pairs([("q", short)])[0]
+    solo_long = rr2.score_pairs([("q", long)])[0]
+    for i in range(16):
+        expect = solo_long if i % 4 == 0 else solo_short
+        np.testing.assert_allclose(scores[i], expect, atol=1e-5)
+    # bucketing: 12 short pairs -> three 64-token batches; 4 long pairs
+    # -> one big-bucket batch (not four)
+    assert rr.stats.buckets.get(64) == 3
+    assert sum(v for k, v in rr.stats.buckets.items() if k > 64) == 1
+    # flops accounting: padded >= useful > 0
+    assert rr.stats.flops_padded >= rr.stats.flops_useful > 0
+    assert rr.stats.pairs == 16 and rr.stats.batches == 4

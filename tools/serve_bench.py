@@ -443,6 +443,7 @@ def main() -> None:
     wall = time.perf_counter() - t0
 
     stage_ms = {}
+    rerank_acct = None
     try:
         snap = METRICS.snapshot()
         for name, t in sorted(snap.get("timers", {}).items()):
@@ -453,6 +454,31 @@ def main() -> None:
                     "count": t["count"],
                 }
         log("stage timers: " + json.dumps(stage_ms))
+        if reranker is not None and reranker.stats.pairs:
+            # VERDICT r4 #3: prove (or disprove) that this mode is
+            # cross-encoder-FLOPs-bound. achieved_tflops is device work
+            # over the rerank stage's wall time (which also contains
+            # host tokenization overlapped with dispatch); compare
+            # mfu_vs_peak to the encoder's ~28% XLA ceiling.
+            st = reranker.stats
+            stage_s = snap["timers"].get("search.rerank", {}).get("total_s", 0.0)
+            peak_tf = float(os.environ.get("ARAG_PEAK_TFLOPS", "197"))
+            rerank_acct = {
+                "pairs": st.pairs,
+                "batches": st.batches,
+                "bucket_batches": {str(k): v for k, v in sorted(st.buckets.items())},
+                "gflops_padded": round(st.flops_padded / 1e9, 1),
+                "gflops_useful": round(st.flops_useful / 1e9, 1),
+                "padding_efficiency": round(st.flops_useful / st.flops_padded, 3)
+                if st.flops_padded else None,
+                "stage_total_s": round(stage_s, 2),
+                "achieved_tflops": round(st.flops_padded / stage_s / 1e12, 2)
+                if stage_s else None,
+                "mfu_vs_peak": round(st.flops_padded / stage_s / (peak_tf * 1e12), 3)
+                if stage_s else None,
+                "peak_tflops_assumed": peak_tf,
+            }
+            log("rerank flops: " + json.dumps(rerank_acct))
     except Exception as exc:  # noqa: BLE001
         log(f"metrics snapshot failed: {exc}")
     httpd.batcher.close()
@@ -484,6 +510,8 @@ def main() -> None:
     if args.nprobe:
         result["nprobe"] = args.nprobe
         result["ivf_clusters"] = args.ivf_clusters
+    if rerank_acct is not None:
+        result["rerank_flops"] = rerank_acct
     if reload_dir is not None:
         result["reload"] = reload_result
     print(json.dumps(result))
