@@ -154,6 +154,12 @@ class RetrievalConfig:
     # tail keeps dense order, flagged in extras["rerank_degraded"])
     # instead of queueing 10+ s of cross-encoder work. 0 = unbounded.
     rerank_max_window_pairs: int = 2048
+    # opt-in cascade (round 5): score every candidate pair at a cheap
+    # 64-token truncation first, rescore only each query's top
+    # max(k, depth) survivors at full pair length (~2.5-3x less
+    # cross-encoder FLOPs at depth 20 over 50 candidates). 0 = off
+    # (the reference's flagship single-stage config).
+    rerank_cascade_depth: int = 0
     query_batch: int = 32
     # IVF (cluster-pruned) retrieval: 0 = flat exact scan (default);
     # >0 = probe that many clusters per query when the index dir carries

@@ -637,7 +637,9 @@ class SearchEngine:
             scored_lists = [sl[:depth] for sl in scored_lists]
         with METRICS.timer("search.rerank"):
             window = self.reranker.rerank_window(
-                queries, [[h.text for h in sl] for sl in scored_lists], k
+                queries, [[h.text for h in sl] for sl in scored_lists], k,
+                cascade_depth=getattr(self.cfg, "rerank_cascade_depth", 0)
+                or None,
             )
         out_all = []
         for hits, scored, (ce_scores, order) in zip(hydrated, scored_lists, window):

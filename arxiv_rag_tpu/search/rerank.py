@@ -157,17 +157,29 @@ class CrossEncoderReranker:
             ]
         return [raw[slot[t]] for t in texts]
 
-    def _encode_pair(self, query_ids: list[int], passage_ids: list[int]) -> tuple[list[int], list[int]]:
+    def _encode_pair(
+        self,
+        query_ids: list[int],
+        passage_ids: list[int],
+        pair_len: int | None = None,
+    ) -> tuple[list[int], list[int]]:
         tk = self.tokenizer
-        # budget: CLS + query + SEP + passage + SEP, within max_pair_len
-        q = query_ids[: self.max_pair_len // 4]
-        room = self.max_pair_len - len(q) - 3
+        mpl = pair_len or self.max_pair_len
+        # budget: CLS + query + SEP + passage + SEP, within the pair len
+        q = query_ids[: mpl // 4]
+        room = mpl - len(q) - 3
         p = passage_ids[:room]
         ids = [tk.cls_id] + q + [tk.sep_id] + p + [tk.sep_id]
         types = [0] * (len(q) + 2) + [1] * (len(p) + 1)
         return ids, types
 
-    def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
+    def score_pairs(
+        self,
+        pairs: Sequence[tuple[str, str]],
+        *,
+        pair_len: int | None = None,
+        memo: dict | None = None,
+    ) -> np.ndarray:
         """Relevance logit per (query, passage) pair.
 
         Tokenization STREAMS per device batch (round 4): tokenizing the
@@ -188,12 +200,18 @@ class CrossEncoderReranker:
         token length (chars/4 — exact lengths would need tokenization
         up front, defeating the streaming overlap) groups short pairs
         into short buckets; scores are written back through the
-        permutation, so the result is order-identical."""
+        permutation, so the result is order-identical.
+
+        ``pair_len`` truncates pairs below ``max_pair_len`` for this
+        call (the cascade's cheap first stage); ``memo`` lets a caller
+        share the tokenization cache across calls — raw ids are always
+        tokenized at ``max_pair_len``, so one memo serves every stage."""
         if not pairs:
             return np.zeros((0,), np.float32)
         tk = self.tokenizer
         bs = self.batch_size
-        memo: dict[str, list[int]] = {}
+        if memo is None:
+            memo = {}
 
         def raw(texts: Sequence[str]) -> list[list[int]]:
             new = [t for t in dict.fromkeys(texts) if t not in memo]
@@ -202,7 +220,7 @@ class CrossEncoderReranker:
                     memo[t] = ids
             return [memo[t] for t in texts]
 
-        mpl = self.max_pair_len
+        mpl = min(pair_len, self.max_pair_len) if pair_len else self.max_pair_len
         est = np.fromiter(
             (
                 min(
@@ -224,13 +242,14 @@ class CrossEncoderReranker:
             q_ids = raw([q for q, _ in chunk])
             p_ids = raw([p for _, p in chunk])
             batch = [
-                self._encode_pair(qi, pi) for qi, pi in zip(q_ids, p_ids)
+                self._encode_pair(qi, pi, pair_len=mpl)
+                for qi, pi in zip(q_ids, p_ids)
             ]
             max_len = max(len(ids) for ids, _ in batch)
             bucket = 64
             while bucket < max_len:
                 bucket *= 2
-            bucket = min(bucket, self.max_pair_len)
+            bucket = min(bucket, mpl)
             n = len(chunk)
             ids = np.full((bs, bucket), tk.pad_id, np.int32)
             mask = np.zeros((bs, bucket), np.int32)
@@ -317,19 +336,65 @@ class CrossEncoderReranker:
         queries: Sequence[str],
         passages_per_query: Sequence[Sequence[str]],
         k: int,
+        *,
+        cascade_depth: int | None = None,
+        cascade_pair_len: int = 64,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Batched rerank of a whole serving window: ALL (query, passage)
         pairs across the window flow through ``score_pairs`` as one
         bucketed stream, so device dispatches are O(total_pairs /
         batch_size), not O(queries) (round-2 weak #3: a 512-query window
         with per-query rerank was ~512 sequential device round trips
-        through the tunnel). Returns per-query (scores, order)."""
+        through the tunnel). Returns per-query (scores, order) with
+        ``order`` indexing into that query's original passage list.
+
+        ``cascade_depth`` (opt-in, round 5) scores every pair at the
+        cheap ``cascade_pair_len`` truncation first (~1/6 the FLOPs of a
+        256-token pair: linear in tokens plus quadratic attention), then
+        rescores only each query's top max(k, cascade_depth) survivors
+        at full length. Exact iff the truncated scores rank the true
+        top-k into the survivor set — the standard retrieve-then-rerank
+        tradeoff, one level down."""
+        depth = (
+            max(k, cascade_depth)
+            if cascade_depth and cascade_pair_len < self.max_pair_len
+            else None
+        )
+        memo: dict[str, list[int]] = {}
         pairs = [
             (q, p)
             for q, passages in zip(queries, passages_per_query)
             for p in passages
         ]
-        flat = self.score_pairs(pairs)
+        if depth is not None and any(
+            len(p) > depth for p in passages_per_query
+        ):
+            cheap = self.score_pairs(
+                pairs, pair_len=max(64, cascade_pair_len), memo=memo
+            )
+            survivors: list[np.ndarray] = []
+            pos = 0
+            for passages in passages_per_query:
+                s = cheap[pos : pos + len(passages)]
+                pos += len(passages)
+                survivors.append(np.sort(np.argsort(-s)[:depth]))
+            full_pairs = [
+                (q, passages[j])
+                for q, passages, keep in zip(
+                    queries, passages_per_query, survivors
+                )
+                for j in keep
+            ]
+            full = self.score_pairs(full_pairs, memo=memo)
+            out = []
+            pos = 0
+            for keep in survivors:
+                s = full[pos : pos + len(keep)]
+                pos += len(keep)
+                local = np.argsort(-s)[:k]
+                out.append((s[local], keep[local]))
+            return out
+        flat = self.score_pairs(pairs, memo=memo)
         out = []
         pos = 0
         for passages in passages_per_query:

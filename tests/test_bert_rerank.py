@@ -471,3 +471,100 @@ def test_length_sorted_batching_and_flops_accounting():
     # flops accounting: padded >= useful > 0
     assert rr.stats.flops_padded >= rr.stats.flops_useful > 0
     assert rr.stats.pairs == 16 and rr.stats.batches == 4
+
+
+def test_cascade_rerank_window():
+    """Round 5 opt-in cascade: stage-1 truncated scoring prunes to
+    max(k, depth) survivors per query, stage-2 full-length scores are
+    EXACTLY the single-stage scores for the surviving passages, and
+    `order` still indexes the original passage list."""
+    tok = WordPieceTokenizer.toy()
+    cfg = BertConfig(
+        vocab_size=len(tok.vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=512, pad_token_id=tok.pad_id,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rr = CrossEncoderReranker(params, cfg, tok, batch_size=8,
+                              compute_dtype=jnp.float32)
+    passages = [
+        ("doc %d " % i + "content words " * (5 + 7 * (i % 5))).strip()
+        for i in range(12)
+    ]
+    queries = ["what is retrieval", "another question"]
+    full = rr.rerank_window(queries, [passages, passages], k=3)
+    cascade = rr.rerank_window(queries, [passages, passages], k=3,
+                               cascade_depth=6)
+    solo = {p: rr.score_pairs([(q, p)])[0] for q in queries for p in passages}
+    # k results per query; every cascade score equals the single-stage
+    # (full-length) score of the passage it points at
+    for q, (scores, order) in zip(queries, cascade):
+        assert len(scores) == 3 and len(order) == 3
+        for s, j in zip(scores, order):
+            np.testing.assert_allclose(
+                s, rr.score_pairs([(q, passages[int(j)])])[0], atol=1e-5)
+    # depth >= n passages -> cascade path disabled, bitwise the full path
+    wide = rr.rerank_window(queries, [passages, passages], k=3,
+                            cascade_depth=12)
+    for (s1, o1), (s2, o2) in zip(full, wide):
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_allclose(s1, s2, atol=0)
+    # cascade must do LESS padded work than two full passes would:
+    # its stage 1 runs at the 64 bucket
+    assert 64 in rr.stats.buckets
+
+
+def test_cascade_through_engine():
+    """rerank_cascade_depth=depth in RetrievalConfig routes the serving
+    path through the cascade; results stay well-formed and carry
+    full-length cross-encoder scores."""
+    import dataclasses
+    import pyarrow as pa
+
+    from arxiv_rag_tpu.config import RetrievalConfig
+    from arxiv_rag_tpu.index.store import build_index
+    from arxiv_rag_tpu.search.engine import SearchEngine
+
+    tok = WordPieceTokenizer.toy()
+    cfg = BertConfig(
+        vocab_size=len(tok.vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=512, pad_token_id=tok.pad_id,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rr = CrossEncoderReranker(params, cfg, tok, batch_size=8,
+                              compute_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    n = 30
+    embs = rng.standard_normal((n, 8), dtype=np.float32)
+    idx = build_index(embs, dtype="float32")
+    texts = [("passage %d " % i + "words " * (4 + 11 * (i % 3))).strip()
+             for i in range(n)]
+
+    class FakeEmbedder:
+        def encode_texts(self, qs):
+            out = np.stack([embs[hash(q) % n] for q in qs])
+            return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    class FakeCorpus:
+        def read_all(self, columns=None):
+            return pa.table({
+                "chunk_id": [f"c{i}" for i in range(n)],
+                "paper_id": [f"p{i}" for i in range(n)],
+                "category": ["cs.LG"] * n,
+                "section": ["body"] * n,
+                "page": [1] * n,
+                "text": texts,
+            })
+
+    rcfg = RetrievalConfig(rerank=True, rerank_top_k=20,
+                           rerank_cascade_depth=8)
+    eng = SearchEngine(idx, embedder=FakeEmbedder(), corpus=FakeCorpus(),
+                       cfg=rcfg, reranker=rr)
+    res = eng.search(["the query text"], k=4)[0]
+    assert len(res) == 4
+    for h in res:
+        assert h.text in texts
+        np.testing.assert_allclose(
+            h.score, rr.score_pairs([("the query text", h.text)])[0],
+            atol=1e-5)

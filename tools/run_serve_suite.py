@@ -50,6 +50,11 @@ def main() -> None:
         "hybrid": ["--hybrid-alpha", "0.7"],
         "rerank256": ["--hybrid-alpha", "0.7", "--rerank",
                       "--rerank-pair-len", "256"],
+        # round-5 opt-in cascade A/B vs rerank256: stage-1 64-token pass
+        # over all pairs, full-length rescore of the top-20 survivors
+        "rerank_cascade": ["--hybrid-alpha", "0.7", "--rerank",
+                           "--rerank-pair-len", "256",
+                           "--rerank-cascade", "20"],
         "rerank512": ["--hybrid-alpha", "0.7", "--rerank",
                       "--rerank-pair-len", "512",
                       "--rerank-window-pairs", "0"],
@@ -57,7 +62,18 @@ def main() -> None:
         # dense load point — errors must stay 0, reload record reported
         "dense_reload": ["--reload-mid-run"],
     }
+    # merge into an existing same-round artifact so separate invocations
+    # (e.g. the runbook's core modes, then a manual cascade A/B later)
+    # accumulate instead of overwriting each other's results
+    out = REPO / f"SERVE_r{args.round:02d}.json"
     suite = {"round": args.round, "rows": args.rows, "results": {}}
+    if out.exists():
+        try:
+            prev = json.loads(out.read_text())
+            if prev.get("round") == args.round and prev.get("rows") == args.rows:
+                suite["results"].update(prev.get("results", {}))
+        except (json.JSONDecodeError, OSError):
+            pass
     for name in args.modes.split(","):
         cmd = base + modes[name]
         print(f"[suite] {name}: {' '.join(cmd)}", flush=True)
@@ -86,7 +102,6 @@ def main() -> None:
                 "stderr_tail": (exc.stderr or b"")[-1500:].decode("utf-8", "replace")
                 if isinstance(exc.stderr, bytes) else str(exc.stderr)[-1500:],
             }
-        out = REPO / f"SERVE_r{args.round:02d}.json"
         out.write_text(json.dumps(suite, indent=1))
         print(f"[suite] {name} done in "
               f"{suite['results'][name]['wall_s']}s -> {out}", flush=True)

@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--rerank-pair-len", type=int, default=256,
                     help="cross-encoder pair truncation (0 = model max; "
                          "round-4 A/B vs the old 512-token pairs)")
+    ap.add_argument("--rerank-cascade", type=int, default=0,
+                    help="cascade depth: score all pairs at a 64-token "
+                         "truncation, rescore only the top N survivors "
+                         "per query at full pair length (0 = off, the "
+                         "reference's single-stage flagship config)")
     ap.add_argument("--rerank-window-pairs", type=int, default=2048,
                     help="admission cap on (query,passage) pairs per "
                          "window (0 = unbounded)")
@@ -296,6 +301,7 @@ def main() -> None:
             rcfg, rerank_top_k=args.rerank_top_k,
             rerank_max_pair_len=args.rerank_pair_len,
             rerank_max_window_pairs=args.rerank_window_pairs,
+            rerank_cascade_depth=args.rerank_cascade,
         )
     engine = SearchEngine(idx, embedder=embedder, cfg=rcfg, corpus=corpus,
                           bm25=bm25, reranker=reranker, ivf=ivf)
@@ -494,6 +500,8 @@ def main() -> None:
         mode += f"_hybrid{args.hybrid_alpha}"
     if args.rerank:
         mode += f"_rerank{args.rerank_top_k}"
+        if args.rerank_cascade:
+            mode += f"_cascade{args.rerank_cascade}"
     result = {
         "metric": f"service_qps_http_{n_rows}x{dim}_{mode}",
         "value": round(done * args.qbatch / wall, 1),
