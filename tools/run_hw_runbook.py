@@ -52,9 +52,10 @@ PHASES = [
         # per-Q-bucket fresh compiles + 2M k-means build can't starve
         # them. Suite writes SERVE_r05.json after every mode.
         "cmd": [sys.executable, "tools/run_serve_suite.py", "--round", "5",
-                "--modes", "dense,hybrid,rerank256,dense_reload,ivf"],
+                "--modes", "dense,hybrid,rerank256,rerank_cascade,"
+                           "dense_reload,ivf"],
         "env": {},
-        "timeout": 13000,
+        "timeout": 14500,
     },
     {
         "name": "recall_1m",
