@@ -553,6 +553,12 @@ def _add_search(sub) -> None:
                    help="BERT cross-encoder checkpoint dir; enables reranking")
     p.add_argument("--rerank-random-init", action="store_true",
                    help="random cross-encoder (smoke runs)")
+    p.add_argument("--rerank-cascade", type=int, default=None,
+                   help="cascade depth: score all candidate pairs at a "
+                        "64-token truncation, rescore only the top N "
+                        "survivors per query at full pair length "
+                        "(~2.5-3x less cross-encoder work; 0/absent = "
+                        "the reference's single-stage config)")
     p.add_argument("--shard", action="store_true",
                    help="row-shard the index over the device mesh")
     p.add_argument("--nprobe", type=int, default=None,
@@ -585,6 +591,10 @@ def _build_engine(args):
         import dataclasses as _dc
 
         rcfg = _dc.replace(rcfg, nprobe=args.nprobe)
+    if getattr(args, "rerank_cascade", None) is not None:
+        import dataclasses as _dc2
+
+        rcfg = _dc2.replace(rcfg, rerank_cascade_depth=args.rerank_cascade)
 
     idx = DenseIndex.load(args.index)
     ivf = None
@@ -937,6 +947,10 @@ def _add_serve(sub) -> None:
                         "rerank_top_k candidates")
     p.add_argument("--rerank-random-init", action="store_true",
                    help="random-init cross-encoder (tests/offline smoke)")
+    p.add_argument("--rerank-cascade", type=int, default=None,
+                   help="cascade depth: 64-token first pass over all "
+                        "pairs, full-length rescore of the top N "
+                        "survivors per query (0/absent = single-stage)")
     p.add_argument("--hydration-cache-mb", type=int, default=None,
                    help="row-group text cache for lazy hydration (default: "
                         "sized from corpus metadata, min 512 MB — at 2M rows "

@@ -121,6 +121,14 @@ def test_cli_search_hybrid_and_rerank(pdf_root, tmp_path, capsys):
                  "--hybrid-alpha", "0.7", "--rerank-random-init"]) == 0
     out = capsys.readouterr().out
     assert "query[0]" in out and "row=" in out
+    # round 5: --rerank-cascade flows through _build_engine into
+    # RetrievalConfig and the cascade path serves the same shape
+    assert main(["search", "--index", str(idx), "--corpus", str(corpus),
+                 "--query", "retrieval encoder", "--k", "3", "--random-init",
+                 "--hybrid-alpha", "0.7", "--rerank-random-init",
+                 "--rerank-cascade", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "query[0]" in out and "row=" in out
 
 
 def test_cli_index_ivf_and_search_nprobe(pdf_root, tmp_path, capsys):
