@@ -1005,7 +1005,10 @@ def cmd_serve(args) -> int:
             print(f"hydration cache prewarmed ({groups} row groups)",
                   file=sys.stderr)
         if engine.reranker is not None and hasattr(engine.reranker, "warm"):
-            warmed = engine.reranker.warm()
+            warmed = engine.reranker.warm(
+                max_window_pairs=getattr(
+                    engine.cfg, "rerank_max_window_pairs", 0) or 2048,
+            )
             print(f"rerank buckets warmed: {warmed}", file=sys.stderr)
 
     httpd = serve(

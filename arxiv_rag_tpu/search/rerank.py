@@ -292,13 +292,18 @@ class CrossEncoderReranker:
             srcpos += bs
         return out
 
-    def warm(self) -> list[int]:
+    def warm(self, *, max_window_pairs: int = 2048) -> list[int]:
         """Compile every (batch_size, bucket) forward this reranker can
         emit and wait for the results. Per-batch bucketing means a live
         window can produce the 64/128 shapes even when typical passages
         pad to max_pair_len — without this, the first short batch in
         production stalls its window on a cold compile (serving shape
-        discipline, CLAUDE.md). Returns the warmed bucket list."""
+        discipline, CLAUDE.md). Also warms the power-of-two logit
+        CONCAT executables up to ``max_window_pairs`` worth of batches:
+        the one-fetch concat at the end of :meth:`score_pairs` compiles
+        per operand count, and on the shared pool even a tiny
+        novel-count compile can stall a live window for minutes.
+        Returns the warmed bucket list."""
         tk = self.tokenizer
         buckets, b = [], 64
         while b < self.max_pair_len:
@@ -320,6 +325,13 @@ class CrossEncoderReranker:
             ))
         for o in outs:
             np.asarray(o)
+        unit = jnp.zeros((self.batch_size, 1), outs[0].dtype)
+        count, max_count = 2, max(
+            1, -(-max_window_pairs // self.batch_size)
+        )
+        while count <= max_count:
+            np.asarray(jnp.concatenate([unit] * count, axis=0))
+            count *= 2
         return buckets
 
     def rerank(

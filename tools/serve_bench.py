@@ -318,6 +318,16 @@ def main() -> None:
             k=10,
         )
         log(f"warmed Q bucket for {qn} queries")
+    if reranker is not None:
+        # every (bs, bucket) forward + the pow-2 logit-concat counts:
+        # the warm queries above only hit the buckets THEY pad to, and
+        # a cold shape/count mid-run stalls whole windows on the shared
+        # compile pool
+        t0 = time.perf_counter()
+        warmed = reranker.warm(max_window_pairs=args.rerank_window_pairs
+                               or 2048)
+        log(f"rerank buckets warmed in {time.perf_counter() - t0:.0f}s: "
+            f"{warmed}")
     log("engine warmed")
     if corpus is not None:
         # resident hydration cache before timing — otherwise the first
