@@ -235,7 +235,7 @@ class CrossEncoderReranker:
         order = np.argsort(est, kind="stable")
 
         device_logits = []
-        counts: list[np.ndarray] = []
+        batch_idx: list[np.ndarray] = []
         for start in range(0, len(pairs), bs):
             idx = order[start : start + bs]
             chunk = [pairs[i] for i in idx]
@@ -273,7 +273,7 @@ class CrossEncoderReranker:
             device_logits.append(self._classify(
                 self.params, jnp.asarray(ids), jnp.asarray(mask), token_type_ids=jnp.asarray(types)
             ))
-            counts.append(idx)
+            batch_idx.append(idx)
             self.stats.batches += 1
         self.stats.pairs += len(pairs)
         # ONE fetch for the whole stream. The concat executable depends
@@ -287,7 +287,7 @@ class CrossEncoderReranker:
         flat = np.asarray(jnp.concatenate(device_logits, axis=0), np.float32)[:, 0]
         out = np.zeros((len(pairs),), np.float32)
         srcpos = 0
-        for idx in counts:
+        for idx in batch_idx:
             out[idx] = flat[srcpos : srcpos + len(idx)]
             srcpos += bs
         return out
