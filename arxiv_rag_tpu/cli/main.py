@@ -557,7 +557,7 @@ def _add_search(sub) -> None:
                    help="cascade depth: score all candidate pairs at a "
                         "64-token truncation, rescore only the top N "
                         "survivors per query at full pair length "
-                        "(~2.5-3x less cross-encoder work; 0/absent = "
+                        "(~1.6x less cross-encoder work at depth 20; 0/absent = "
                         "the reference's single-stage config)")
     p.add_argument("--shard", action="store_true",
                    help="row-shard the index over the device mesh")

@@ -156,8 +156,10 @@ class RetrievalConfig:
     rerank_max_window_pairs: int = 2048
     # opt-in cascade (round 5): score every candidate pair at a cheap
     # 64-token truncation first, rescore only each query's top
-    # max(k, depth) survivors at full pair length (~2.5-3x less
-    # cross-encoder FLOPs at depth 20 over 50 candidates). 0 = off
+    # max(k, depth) survivors at full pair length (~1.6x less
+    # cross-encoder FLOPs at depth 20 over 50 candidates, ~2.3x at
+    # depth 10 — a 64-token MiniLM pair costs ~1/4.3 of a 256-token
+    # one). 0 = off
     # (the reference's flagship single-stage config).
     rerank_cascade_depth: int = 0
     query_batch: int = 32

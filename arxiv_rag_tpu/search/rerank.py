@@ -361,8 +361,9 @@ class CrossEncoderReranker:
         ``order`` indexing into that query's original passage list.
 
         ``cascade_depth`` (opt-in, round 5) scores every pair at the
-        cheap ``cascade_pair_len`` truncation first (~1/6 the FLOPs of a
-        256-token pair: linear in tokens plus quadratic attention), then
+        cheap ``cascade_pair_len`` truncation first (a 64-token MiniLM
+        pair costs ~1/4.3 of a 256-token one per :func:`_bert_matmul_flops`;
+        linear in tokens plus quadratic attention), then
         rescores only each query's top max(k, cascade_depth) survivors
         at full length. Exact iff the truncated scores rank the true
         top-k into the survivor set — the standard retrieve-then-rerank
