@@ -344,6 +344,14 @@ def main() -> None:
     from arxiv_rag_tpu.logging_utils import METRICS
 
     METRICS.reset()
+    # snapshot rerank work counters at the same instant: the warmup
+    # queries above ran real rerank windows, and rerank_flops must pair
+    # run-only FLOPs with the run-only stage timer
+    rerank_stats0 = None
+    if reranker is not None:
+        import copy as _copy
+
+        rerank_stats0 = _copy.deepcopy(reranker.stats)
     reload_dir = None
     if args.reload_mid_run:
         from pathlib import Path as _PR
@@ -470,27 +478,37 @@ def main() -> None:
                     "count": t["count"],
                 }
         log("stage timers: " + json.dumps(stage_ms))
-        if reranker is not None and reranker.stats.pairs:
+        if (reranker is not None and rerank_stats0 is not None
+                and reranker.stats.pairs > rerank_stats0.pairs):
             # VERDICT r4 #3: prove (or disprove) that this mode is
             # cross-encoder-FLOPs-bound. achieved_tflops is device work
             # over the rerank stage's wall time (which also contains
             # host tokenization overlapped with dispatch); compare
-            # mfu_vs_peak to the encoder's ~28% XLA ceiling.
-            st = reranker.stats
+            # mfu_vs_peak to the encoder's ~28% XLA ceiling. All
+            # counters are RUN-ONLY deltas vs the post-warmup snapshot,
+            # matching the run-only stage timer.
+            st, s0 = reranker.stats, rerank_stats0
+            pairs = st.pairs - s0.pairs
+            fpad = st.flops_padded - s0.flops_padded
+            fuse = st.flops_useful - s0.flops_useful
+            bucket_d = {
+                str(b): st.buckets[b] - s0.buckets.get(b, 0)
+                for b in sorted(st.buckets)
+                if st.buckets[b] - s0.buckets.get(b, 0)
+            }
             stage_s = snap["timers"].get("search.rerank", {}).get("total_s", 0.0)
             peak_tf = float(os.environ.get("ARAG_PEAK_TFLOPS", "197"))
             rerank_acct = {
-                "pairs": st.pairs,
-                "batches": st.batches,
-                "bucket_batches": {str(k): v for k, v in sorted(st.buckets.items())},
-                "gflops_padded": round(st.flops_padded / 1e9, 1),
-                "gflops_useful": round(st.flops_useful / 1e9, 1),
-                "padding_efficiency": round(st.flops_useful / st.flops_padded, 3)
-                if st.flops_padded else None,
+                "pairs": pairs,
+                "batches": st.batches - s0.batches,
+                "bucket_batches": bucket_d,
+                "gflops_padded": round(fpad / 1e9, 1),
+                "gflops_useful": round(fuse / 1e9, 1),
+                "padding_efficiency": round(fuse / fpad, 3) if fpad else None,
                 "stage_total_s": round(stage_s, 2),
-                "achieved_tflops": round(st.flops_padded / stage_s / 1e12, 2)
+                "achieved_tflops": round(fpad / stage_s / 1e12, 2)
                 if stage_s else None,
-                "mfu_vs_peak": round(st.flops_padded / stage_s / (peak_tf * 1e12), 3)
+                "mfu_vs_peak": round(fpad / stage_s / (peak_tf * 1e12), 3)
                 if stage_s else None,
                 "peak_tflops_assumed": peak_tf,
             }
