@@ -635,11 +635,11 @@ class SearchEngine:
         if degraded:
             depth = max(k, cap // max(1, len(queries)))
             scored_lists = [sl[:depth] for sl in scored_lists]
+        cascade_depth = getattr(self.cfg, "rerank_cascade_depth", 0) or None
         with METRICS.timer("search.rerank"):
             window = self.reranker.rerank_window(
                 queries, [[h.text for h in sl] for sl in scored_lists], k,
-                cascade_depth=getattr(self.cfg, "rerank_cascade_depth", 0)
-                or None,
+                cascade_depth=cascade_depth,
             )
         out_all = []
         for hits, scored, (ce_scores, order) in zip(hydrated, scored_lists, window):
@@ -650,6 +650,10 @@ class SearchEngine:
                 h.score = float(s)
                 if degraded:
                     h.extras["rerank_degraded"] = True
+                if cascade_depth and len(scored) > max(k, cascade_depth):
+                    # ranking came through the two-stage path (stage-1
+                    # pruning actually ran for this query)
+                    h.extras["rerank_cascade"] = cascade_depth
                 out.append(h)
             # text-less candidates can't be cross-encoded; keep them after
             # the reranked set (dense order) rather than dropping them

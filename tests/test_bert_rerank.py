@@ -565,6 +565,7 @@ def test_cascade_through_engine():
     assert len(res) == 4
     for h in res:
         assert h.text in texts
+        assert h.extras.get("rerank_cascade") == 8  # stage-1 pruning ran
         np.testing.assert_allclose(
             h.score, rr.score_pairs([("the query text", h.text)])[0],
             atol=1e-5)
