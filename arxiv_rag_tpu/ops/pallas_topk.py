@@ -350,8 +350,17 @@ def _topk_kernel(
                     ),
                 )
             elif merge_impl in ("group1", "group2"):
-                # GROUP-CACHED extraction (round 4, unmeasured on hardware
-                # until the tunnel returns — default stays "extract").
+                # GROUP-CACHED extraction. MEASURED DEAD END (2026-08-18,
+                # v5e, 2M rows, Q=512, amortized, values EXACT vs extract):
+                # bf16 74.7 ms group1 vs 32.9 extract; int8-s8s8 63.3
+                # group1 / 95.3 group2 vs 18.9 extract — 2-5x SLOWER, and
+                # bf16_group2 failed remote compile outright (tpu_compile_
+                # helper exit 1). The premise below (per-trip cost tracks
+                # per-trip VPU traffic) is refuted for this family too:
+                # the lax.cond scalar-gated refill + [QB, G] bookkeeping
+                # dominate. "extract" stays the default everywhere; do not
+                # re-attempt group caching without a Mosaic change that
+                # gives per-row dynamic addressing.
                 # Premise, from the round-3 cost decomposition: the merge
                 # costs ~1 us per while-trip ≈ one [QB, BN] VPU pass, and
                 # "staged" stayed neutral because its per-trip group
